@@ -1,0 +1,19 @@
+"""Test env: force the CPU backend with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware.
+
+Note: this environment ships a sitecustomize that pins JAX_PLATFORMS=axon
+(TPU tunnel), so the env var alone is not enough — we override via
+jax.config before any backend is initialized.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
