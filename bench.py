@@ -1,0 +1,100 @@
+"""Benchmark: flagship MAML episode training throughput on one TPU chip.
+
+Metric (BASELINE.json): mel-frames/sec/chip for the meta training step —
+teacher-forced mel frames consumed per second (support frames x inner steps
++ query frames, per outer step).
+
+vs_baseline compares against an ANALYTIC estimate of the PyTorch reference
+on one V100 (no throughput was published; see BASELINE.md): ~70 GFLOPs
+forward per 870-frame sample, 5-shot/5-query episode with 5 second-order
+inner steps ≈ 11 TFLOPs/episode; at a realistic 20% fp32 V100 utilization
+(3.1 TFLOP/s) one episode ≈ 3.6 s → ≈ 7.2k teacher-forced frames/s/GPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REF_V100_FRAMES_PER_SEC = 7200.0  # analytic estimate, documented above
+
+# flagship shapes (LibriTTS-like): 5-shot/5-query, 128 phones, 896 mel frames
+SHOTS = 5
+QUERIES = 5
+SRC_LEN = 128
+MEL_LEN = 896
+INNER_STEPS = 5
+EPISODES = 1  # one episode per chip = reference DDP recipe
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    import jax
+    from metatts_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+    # rbg is ~10% faster than threefry for in-graph dropout mask generation
+    jax.config.update("jax_default_prng_impl", "rbg")
+    import jax.numpy as jnp
+    from metatts_tpu import config as C
+    from metatts_tpu.algorithms.meta import MetaSystem
+    from __graft_entry__ import _batch
+
+    import copy
+    pcfg = copy.deepcopy(C.PREPROCESS_DEFAULTS)
+    mcfg = copy.deepcopy(C.MODEL_DEFAULTS)
+    tcfg = copy.deepcopy(C.TRAIN_DEFAULTS)
+    acfg = copy.deepcopy(C.ALGORITHM_DEFAULTS)
+    acfg["type"] = "meta"
+    acfg["adapt"]["train"].update(shots=SHOTS, queries=QUERIES,
+                                  steps=INNER_STEPS)
+
+    system = MetaSystem(pcfg, mcfg, tcfg, acfg, n_speakers=256)
+
+    rng = np.random.RandomState(0)
+
+    def episode_stack(B):
+        bs = [_batch(rng, B=B, L=SRC_LEN, T=MEL_LEN, n_mels=80,
+                     n_speakers=256) for _ in range(EPISODES)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
+
+    sup = episode_stack(SHOTS)
+    qry = episode_stack(QUERIES)
+
+    # compile
+    t0 = time.time()
+    losses = system.train_step(sup, qry)
+    jax.block_until_ready(losses.total)
+    compile_s = time.time() - t0
+
+    for _ in range(WARMUP):
+        losses = system.train_step(sup, qry)
+    jax.block_until_ready(losses.total)
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        losses = system.train_step(sup, qry)
+    jax.block_until_ready(losses.total)
+    dt = (time.time() - t0) / ITERS
+
+    sup_frames = int(np.asarray(sup.mel_lens).sum())
+    qry_frames = int(np.asarray(qry.mel_lens).sum())
+    frames_per_step = sup_frames * INNER_STEPS + qry_frames
+    value = frames_per_step / dt
+
+    print(json.dumps({
+        "metric": "train_mel_frames_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "mel-frames/s/chip (MAML outer step, 5-shot/5-query, "
+                "5 second-order inner steps)",
+        "vs_baseline": round(value / REF_V100_FRAMES_PER_SEC, 3),
+        "step_time_ms": round(dt * 1e3, 2),
+        "compile_s": round(compile_s, 1),
+        "loss": float(losses.total),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Few-shot adaptation machinery (MAML-style inner loops).
+
+TPU-native replacement for the reference's learn2learn module-cloning
+machinery (``lightning/systems/base_adaptor.py``, ``systems/utils.py``):
+params are a pytree, the inner loop is plain SGD expressed as ``lax.scan``
+over grad steps, and the outer (meta) gradient is ``jax.grad`` straight
+through the unrolled inner trajectory — grad-of-grad in one XLA program.
+
+* ``partition``/``merge`` select the adapted sub-pytree by top-level key
+  (== ``algorithm.adapt.modules``, reference ``base_adaptor.py:31-35``).
+* ``first_order=True`` applies stop-gradient to the inner gradients (FOMAML)
+  — the reference's val/test asymmetry (``base_adaptor.py:107``).
+* Batch-norm state is frozen during the inner loop (train-mode batch stats
+  are used for normalization, matching torch train mode; running-stat
+  updates inside an episode never feed back into the episode's math).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models.fastspeech2 import fastspeech2_apply
+from ..models.loss import fastspeech2_loss
+
+
+def partition(params, modules):
+    """Split params into (adapted, frozen) by top-level key."""
+    adapted = {k: v for k, v in params.items() if k in modules}
+    frozen = {k: v for k, v in params.items() if k not in modules}
+    return adapted, frozen
+
+
+def merge(adapted, frozen):
+    return {**adapted, **frozen}
+
+
+class Adaptor:
+    """Bundles the three config groups and exposes pure episode functions.
+
+    Every method is functionally pure; jit-compiled entry points are built
+    once per (shape-bucket, flags) via functools.partial + jax.jit in the
+    training systems.
+    """
+
+    def __init__(self, preprocess_cfg, model_cfg, algorithm_cfg):
+        self.pcfg = preprocess_cfg
+        self.mcfg = model_cfg
+        self.acfg = algorithm_cfg
+        self.modules = tuple(algorithm_cfg["adapt"]["modules"])
+
+    # ---------------------------------------------------------- forward
+
+    def forward(self, params, state, batch, *, train=False, rng=None,
+                teacher_forced=None, average_spk_emb=False, max_mel_len=None):
+        return fastspeech2_apply(
+            params, state, batch, self.mcfg, self.pcfg, self.acfg,
+            train=train, rng=rng, teacher_forced=teacher_forced,
+            average_spk_emb=average_spk_emb, max_mel_len=max_mel_len)
+
+    def loss(self, batch, output):
+        return fastspeech2_loss(batch, output, self.pcfg)
+
+    # ------------------------------------------------------- inner loop
+
+    def _support_loss(self, adapted, frozen, state, sup_batch, train, rng):
+        out, _ = self.forward(merge(adapted, frozen), state, sup_batch,
+                              train=train, rng=rng)
+        return self.loss(sup_batch, out).total
+
+    def adapt(self, params, state, sup_batch, *, steps, lr,
+              first_order, train, rng=None):
+        """Inner-loop SGD on the adapted sub-pytree. Returns merged params.
+
+        Reference semantics (``base_adaptor.py:98-112``): plain SGD at
+        ``adapt.task.lr`` on the support loss, second-order only when
+        train and not first_order.
+        """
+        adapted, frozen = partition(params, self.modules)
+        grad_fn = jax.grad(self._support_loss)
+
+        def step(carry, step_rng):
+            a = carry
+            g = grad_fn(a, frozen, state, sup_batch, train, step_rng)
+            if first_order:
+                g = jax.lax.stop_gradient(g)
+            a = jax.tree.map(lambda p, gi: p - lr * gi, a, g)
+            return a, None
+
+        step_rngs = (jax.random.split(rng, steps) if rng is not None
+                     else [None] * steps)
+        if rng is not None:
+            adapted, _ = jax.lax.scan(step, adapted, step_rngs)
+        else:
+            for i in range(steps):
+                adapted, _ = step(adapted, None)
+        return merge(adapted, frozen)
+
+    # ------------------------------------------- cross-lingual codebook
+
+    def refresh_phoneme_table(self, params, phn_ref):
+        """Regenerate the encoder phoneme table from support-set SSL
+        representations (reference ``meta.py:24-33`` +
+        ``phoneme_embedding.py:104-140``). Differentiable w.r.t. the
+        codebook banks, so the outer loop meta-learns them."""
+        from ..models.phoneme_embedding import get_new_embedding
+        att = self.acfg["adapt"]["phoneme_emb"].get(
+            "attention", {"type": "hard"})["type"]
+        table = get_new_embedding(params["phn_emb_generator"], phn_ref, att)
+        new_enc = dict(params["encoder"])
+        new_enc["src_word_emb"] = {"table": table}
+        return {**params, "encoder": new_enc}
+
+    # -------------------------------------------------------- meta step
+
+    def meta_learn(self, params, state, sup_batch, qry_batch, *,
+                   steps, lr, train, rng=None, phn_ref=None):
+        """Adapt on support, evaluate on query (reference
+        ``base_adaptor.py:114-124``). Returns (LossValues, FS2Output, state).
+
+        The query forward teacher-forces targets and averages the support
+        speaker embedding (1-way task: all support utterances share the
+        episode's speaker).
+        """
+        r_adapt, r_qry = (jax.random.split(rng) if rng is not None
+                          else (None, None))
+        if phn_ref is not None:
+            params = self.refresh_phoneme_table(params, phn_ref)
+        adapted = self.adapt(params, state, sup_batch,
+                             steps=steps, lr=lr,
+                             first_order=not train, train=train, rng=r_adapt)
+        qry = qry_batch._replace(speaker_args=_episode_speaker_args(
+            sup_batch.speaker_args, qry_batch.speaker_args))
+        out, new_state = self.forward(adapted, state, qry, train=train,
+                                      rng=r_qry, average_spk_emb=True)
+        return self.loss(qry, out), out, new_state
+
+
+def _episode_speaker_args(sup_args, qry_args):
+    """Query synthesis conditions on the support speakers' (averaged)
+    embedding — reference passes sup_batch[2] into the query forward
+    (``base_adaptor.py:122``).
+
+    For table/shared modes support shape (K,) != query shape (Q,); we take
+    the support ids broadcast to the query count (1-way tasks: same speaker).
+    """
+    if isinstance(sup_args, tuple):
+        return sup_args  # d-vector modes: ref mels come from support
+    q = qry_args.shape[0]
+    return jnp.broadcast_to(sup_args[:1], (q,))

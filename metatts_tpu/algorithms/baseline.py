@@ -1,0 +1,47 @@
+"""Baseline system: plain multi-task training, meta-style validation.
+
+Reference ``lightning/systems/baseline.py:15-53``: training_step is a
+supervised forward+loss over a flat batch; validation still adapts like MAML
+(first-order) so baseline vs meta models are comparable at eval.
+"""
+
+import jax
+import optax
+
+from .base import System
+
+
+class BaselineSystem(System):
+    algorithm_type = "baseline"
+
+    def _train_step(self, params, state, opt_state, batch, rng, step):
+        (_, (losses, new_state)), grads = jax.value_and_grad(
+            self._supervised_loss, has_aux=True)(
+                params, state, batch, rng, True)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, losses
+
+    def train_step(self, batch):
+        """Host entry: one supervised step. Returns LossValues."""
+        fn = self._cached_jit("train", self._train_step,
+                              donate_argnums=(0, 1, 2))
+        self.params, self.state, self.opt_state, losses = fn(
+            self.params, self.state, self.opt_state, batch,
+            self.next_rng(), self.global_step)
+        self.global_step += 1
+        return losses
+
+    def validation_step(self, sup_batch, qry_batch):
+        """Meta-style validation (first-order adapt on support, eval query)."""
+        task = self.acfg["adapt"]["train"]
+
+        def val(params, state, sup, qry, rng):
+            losses, _, _ = self.adaptor.meta_learn(
+                params, state, sup, qry,
+                steps=task["steps"], lr=task["lr"], train=False, rng=rng)
+            return losses
+
+        fn = self._cached_jit("val", val)
+        return fn(self.params, self.state, sup_batch, qry_batch,
+                  self.next_rng())

@@ -59,7 +59,7 @@ MODEL_DEFAULTS = {
     # TPU-specific knobs (no reference equivalent):
     "compute_dtype": "bfloat16",   # matmul/compute precision on TPU
     "max_src_len": 192,            # static text-length bucket cap
-    "remat": True,                 # jax.checkpoint FFT blocks in meta loops
+    "remat": False,                # jax.checkpoint FFT blocks (mem vs speed)
 }
 
 TRAIN_DEFAULTS = {

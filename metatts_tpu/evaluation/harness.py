@@ -1,0 +1,109 @@
+"""Offline evaluation harness (reference ``evaluation/main.py`` pipeline):
+
+  wavs -> d-vectors (cached as .npy) -> centroid / pair similarity ->
+  EER / DET / AUC -> txt reports.
+
+Generic over the artifact tree our Saver writes:
+  <result_dir>/audio/Testing/step_<ckpt>/<task_id>/*.{recon,synth}.wav
+plus a directory of real enrollment wavs per speaker.  The reference's
+``evaluation/config.py`` hard-codes a Comet-experiment-key matrix of
+mode -> result dir (31 modes x adaptation steps); here the same structure is
+a plain dict argument.
+"""
+
+import json
+import os
+import re
+
+import numpy as np
+
+from .dvector import DVectorEncoder
+from .similarity import centroid_similarity
+from .verification import speaker_verification_eer
+from ..preprocess.audio_io import load_wav
+
+
+class EvaluationHarness:
+    def __init__(self, cache_dir="eval_cache", weights_npz=None):
+        self.encoder = DVectorEncoder(weights_npz=weights_npz)
+        self.cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ embed
+
+    def _embed_files(self, files, cache_key):
+        cache = os.path.join(self.cache_dir, f"{cache_key}_dvector.npy")
+        names_cache = os.path.join(self.cache_dir, f"{cache_key}_names.json")
+        if os.path.exists(cache) and os.path.exists(names_cache):
+            cached_names = json.load(open(names_cache))
+            if cached_names == [os.path.basename(f) for f in files]:
+                return np.load(cache)
+        dvecs = []
+        for f in files:
+            wav, sr = load_wav(f)
+            dvecs.append(self.encoder.embed_utterance(wav, sr))
+        out = np.stack(dvecs) if dvecs else np.zeros((0, 256), np.float32)
+        np.save(cache, out)
+        json.dump([os.path.basename(f) for f in files],
+                  open(names_cache, "w"))
+        return out
+
+    def embed_speaker_dirs(self, root, cache_key, max_per_speaker=None):
+        """<root>/<speaker>/*.wav -> dict speaker -> (N, 256)."""
+        out = {}
+        for spk in sorted(os.listdir(root)):
+            d = os.path.join(root, spk)
+            if not os.path.isdir(d):
+                continue
+            files = sorted(os.path.join(d, f) for f in os.listdir(d)
+                           if f.endswith(".wav"))
+            if max_per_speaker:
+                files = files[:max_per_speaker]
+            if files:
+                out[spk] = self._embed_files(files, f"{cache_key}_{spk}")
+        return out
+
+    def embed_result_tree(self, result_dir, kind="synth", step="step_last"):
+        """Saver test tree -> dict task_id -> (N, 256)."""
+        root = os.path.join(result_dir, "audio", "Testing", step)
+        out = {}
+        if not os.path.isdir(root):
+            return out
+        for task in sorted(os.listdir(root)):
+            d = os.path.join(root, task)
+            if not os.path.isdir(d):
+                continue
+            files = sorted(os.path.join(d, f) for f in os.listdir(d)
+                           if f.endswith(f".{kind}.wav"))
+            if files:
+                out[task] = self._embed_files(
+                    files, f"res_{re.sub('[^A-Za-z0-9]', '_', task)}_{kind}")
+        return out
+
+    # ----------------------------------------------------------- metrics
+
+    @staticmethod
+    def eer_report(dvecs_by_speaker):
+        """Same/diff-speaker EER over per-speaker d-vector groups."""
+        from .similarity import pair_similarity
+        same, diff = pair_similarity(dvecs_by_speaker)
+        return speaker_verification_eer(same, diff)
+
+    @staticmethod
+    def similarity_to_enrollment(enroll_by_speaker, test_by_speaker):
+        """Mean cosine of each speaker's test d-vectors to their enrollment
+        centroid (reference centroid_similarity)."""
+        sims = {}
+        for spk, vecs in test_by_speaker.items():
+            if spk in enroll_by_speaker:
+                sims[spk] = float(np.mean(
+                    centroid_similarity(enroll_by_speaker[spk], vecs)))
+        return sims
+
+    def write_report(self, path, rows):
+        """rows: list of (label, value) -> eer.txt-style report."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            for label, value in rows:
+                f.write(f"{label}\t{value}\n")
+        return path

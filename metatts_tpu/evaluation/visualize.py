@@ -1,0 +1,56 @@
+"""t-SNE visualization of speaker d-vectors (reference
+``evaluation/visualize.py:18``) and similarity density plots
+(``evaluation/similarity_plot.py:19``)."""
+
+import os
+
+import numpy as np
+
+
+def tsne_plot(dvecs_by_group, out_path, perplexity=30, seed=0):
+    """dvecs_by_group: dict label -> (N, D). Writes a scatter PNG."""
+    from sklearn.manifold import TSNE
+    labels, vecs = [], []
+    for g, v in sorted(dvecs_by_group.items()):
+        labels += [g] * len(v)
+        vecs.append(np.asarray(v))
+    x = np.concatenate(vecs)
+    perplexity = min(perplexity, max(2, len(x) // 4))
+    emb = TSNE(n_components=2, perplexity=perplexity, init="pca",
+               random_state=seed).fit_transform(x)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(6, 6))
+    uniq = sorted(set(labels))
+    for g in uniq:
+        idx = [i for i, l in enumerate(labels) if l == g]
+        ax.scatter(emb[idx, 0], emb[idx, 1], s=8, label=str(g), alpha=0.7)
+    if len(uniq) <= 12:
+        ax.legend(fontsize=7)
+    ax.set_title("d-vector t-SNE")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=130)
+    plt.close(fig)
+    return emb
+
+
+def similarity_density_plot(same_scores, diff_scores, out_path):
+    """Overlaid histograms of same/different-speaker cosine scores."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.hist(np.asarray(same_scores), bins=40, alpha=0.6, density=True,
+            label="same speaker")
+    ax.hist(np.asarray(diff_scores), bins=40, alpha=0.6, density=True,
+            label="different speaker")
+    ax.set_xlabel("cosine similarity")
+    ax.legend()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=130)
+    plt.close(fig)
+    return out_path

@@ -1,0 +1,200 @@
+"""FFT-block transformer encoder/decoder (FastSpeech2 backbone).
+
+Functional re-design of the reference ``transformer/`` stack
+(``Models.py``, ``Layers.py``, ``SubLayers.py``, ``Modules.py``):
+  * FFTBlock = post-LN multi-head self-attention + conv1d(k=9,1) FFN,
+    outputs zeroed at padded positions;
+  * sinusoid positional table added to embeddings (table is a constant,
+    not a parameter);
+  * encoder embeds phoneme IDs (vocab = len(symbols)+1, PAD=0).
+
+TPU notes: attention is a fused einsum chain (XLA maps QK^T / AV onto the
+MXU and fuses the masked softmax); sequences are statically padded so there
+is one compiled program per shape bucket.  Head-folding bmm tricks from the
+reference are unnecessary — batched einsum is native here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import nn
+from ..text.symbols import symbols
+
+
+def sinusoid_table(n_position, d_hid):
+    """Reference ``Models.py:10-30``."""
+    pos = np.arange(n_position)[:, None]
+    dim = np.arange(d_hid)[None, :]
+    angle = pos / np.power(10000, 2 * (dim // 2) / d_hid)
+    table = np.zeros((n_position, d_hid), np.float32)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table
+
+
+# ------------------------------------------------------------ attention
+
+def mha_init(rng, d_model, n_head, d_k, d_v):
+    k1, k2, k3, k4, rng = jax.random.split(rng, 5)
+    return {
+        "w_q": nn.linear_init(k1, d_model, n_head * d_k),
+        "w_k": nn.linear_init(k2, d_model, n_head * d_k),
+        "w_v": nn.linear_init(k3, d_model, n_head * d_v),
+        "fc": nn.linear_init(k4, n_head * d_v, d_model),
+        "ln": nn.layer_norm_init(d_model),
+    }
+
+
+def mha(p, x, key_valid, n_head, *, cdtype, drop_rate, train, rng):
+    """Self-attention, post-LN residual. key_valid: (B, T) bool."""
+    B, T, D = x.shape
+    d_k = p["w_q"]["w"].shape[1] // n_head
+    q = nn.linear(p["w_q"], x, cdtype).reshape(B, T, n_head, d_k)
+    k = nn.linear(p["w_k"], x, cdtype).reshape(B, T, n_head, d_k)
+    v = nn.linear(p["w_v"], x, cdtype).reshape(B, T, n_head, d_k)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(cdtype), k.astype(cdtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores / np.sqrt(d_k)
+    scores = jnp.where(key_valid[:, None, None, :], scores, -1e9)
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(cdtype), v.astype(cdtype),
+                     preferred_element_type=jnp.float32)
+    out = nn.linear(p["fc"], out.reshape(B, T, n_head * d_k), cdtype)
+    out = nn.dropout(rng, out, drop_rate, train)
+    return nn.layer_norm(p["ln"], out + x)
+
+
+# ------------------------------------------------------------------- ffn
+
+def ffn_init(rng, d_model, d_inner, kernel_sizes):
+    k1, k2, rng = jax.random.split(rng, 3)
+    return {
+        "w1": nn.conv1d_init(k1, d_model, d_inner, kernel_sizes[0]),
+        "w2": nn.conv1d_init(k2, d_inner, d_model, kernel_sizes[1]),
+        "ln": nn.layer_norm_init(d_model),
+    }
+
+
+def ffn(p, x, *, cdtype, drop_rate, train, rng):
+    h = nn.conv1d(p["w1"], x, cdtype)
+    h = jax.nn.relu(h)
+    h = nn.conv1d(p["w2"], h, cdtype)
+    h = nn.dropout(rng, h, drop_rate, train)
+    return nn.layer_norm(p["ln"], h + x)
+
+
+# ------------------------------------------------------------- fft block
+
+def fft_block_init(rng, d_model, n_head, d_k, d_v, d_inner, kernel_sizes):
+    k1, k2 = jax.random.split(rng)
+    return {"attn": mha_init(k1, d_model, n_head, d_k, d_v),
+            "ffn": ffn_init(k2, d_model, d_inner, kernel_sizes)}
+
+
+def fft_block(p, x, valid, n_head, *, cdtype, drop_rate, train, rng):
+    r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
+    x = mha(p["attn"], x, valid, n_head,
+            cdtype=cdtype, drop_rate=drop_rate, train=train, rng=r1)
+    x = jnp.where(valid[..., None], x, 0.0)
+    x = ffn(p["ffn"], x, cdtype=cdtype, drop_rate=drop_rate, train=train, rng=r2)
+    return jnp.where(valid[..., None], x, 0.0)
+
+
+# --------------------------------------------------------------- encoder
+
+def encoder_init(rng, cfg):
+    t = cfg["transformer"]
+    d = t["encoder_hidden"]
+    d_k = d // t["encoder_head"]
+    keys = jax.random.split(rng, t["encoder_layer"] + 1)
+    return {
+        "src_word_emb": nn.embedding_init(keys[0], len(symbols) + 1, d,
+                                          padding_idx=0),
+        "layers": [
+            fft_block_init(keys[i + 1], d, t["encoder_head"], d_k, d_k,
+                           t["conv_filter_size"], t["conv_kernel_size"])
+            for i in range(t["encoder_layer"])
+        ],
+    }
+
+
+def encoder_apply(p, texts, src_valid, cfg, *, train, rng, pos_table):
+    """texts: (B, L) int32 -> (B, L, H)."""
+    t = cfg["transformer"]
+    cdtype = jnp.dtype(cfg.get("compute_dtype", "float32"))
+    L = texts.shape[1]
+    x = nn.embedding(p["src_word_emb"], texts) + pos_table[None, :L]
+    blk = _make_block(t["encoder_head"], cdtype, t["encoder_dropout"], train,
+                      cfg.get("remat", False))
+    for i, lp in enumerate(p["layers"]):
+        lrng = jax.random.fold_in(rng, i) if rng is not None else None
+        x = blk(lp, x, src_valid, lrng)
+    return x
+
+
+def _make_block(n_head, cdtype, drop_rate, train, remat):
+    def run(lp, x, valid, lrng):
+        return fft_block(lp, x, valid, n_head, cdtype=cdtype,
+                         drop_rate=drop_rate, train=train, rng=lrng)
+    return jax.checkpoint(run) if remat else run
+
+
+# --------------------------------------------------------------- decoder
+
+def decoder_init(rng, cfg):
+    t = cfg["transformer"]
+    d = t["decoder_hidden"]
+    d_k = d // t["decoder_head"]
+    keys = jax.random.split(rng, t["decoder_layer"])
+    return {
+        "layers": [
+            fft_block_init(keys[i], d, t["decoder_head"], d_k, d_k,
+                           t["conv_filter_size"], t["conv_kernel_size"])
+            for i in range(t["decoder_layer"])
+        ],
+    }
+
+
+def decoder_apply(p, x, mel_valid, cfg, *, train, rng, pos_table):
+    t = cfg["transformer"]
+    cdtype = jnp.dtype(cfg.get("compute_dtype", "float32"))
+    T = x.shape[1]
+    x = x + pos_table[None, :T]
+    blk = _make_block(t["decoder_head"], cdtype, t["decoder_dropout"], train,
+                      cfg.get("remat", False))
+    for i, lp in enumerate(p["layers"]):
+        lrng = jax.random.fold_in(rng, i) if rng is not None else None
+        x = blk(lp, x, mel_valid, lrng)
+    return x
+
+
+# --------------------------------------------------------------- postnet
+
+def postnet_init(rng, n_mels=80, d=512, k=5, n_convs=5):
+    keys = jax.random.split(rng, n_convs)
+    params, state = [], []
+    chans = [n_mels] + [d] * (n_convs - 1) + [n_mels]
+    for i in range(n_convs):
+        cp = nn.conv1d_init(keys[i], chans[i], chans[i + 1], k)
+        bp, bs = nn.batch_norm_init(chans[i + 1])
+        params.append({"conv": cp, "bn": bp})
+        state.append(bs)
+    return {"convs": params}, {"convs": state}
+
+
+def postnet_apply(p, state, mel, *, cdtype, train, rng):
+    """5-conv residual refiner (reference ``Layers.py:67-137``).
+    Returns (residual, new_state)."""
+    x = mel
+    new_states = []
+    n = len(p["convs"])
+    for i, (cp, bs) in enumerate(zip(p["convs"], state["convs"])):
+        x = nn.conv1d(cp["conv"], x, cdtype)
+        x, ns = nn.batch_norm(cp["bn"], bs, x, train)
+        new_states.append(ns)
+        if i < n - 1:
+            x = jnp.tanh(x)
+        lrng = jax.random.fold_in(rng, i) if rng is not None else None
+        x = nn.dropout(lrng, x, 0.5, train)
+    return x, {"convs": new_states}

@@ -1,0 +1,149 @@
+"""Training loops (the pl.Trainer equivalent, host-side orchestration).
+
+Stages mirror the reference CLI (``main.py:84-139``): train / test /
+predict / debug.  The loop is deliberately thin — all math lives in the
+systems' jitted step functions; this file does scheduling, logging,
+checkpointing, validation cadence.
+"""
+
+import os
+import time
+
+import numpy as np
+
+from .checkpoint import save_checkpoint, load_checkpoint
+from .saver import Saver
+from ..models.loss import LossValues
+
+
+def _first_episode(batch):
+    """Drop the leading episode axis from a stacked episode Batch."""
+    import jax
+    return jax.tree.map(lambda x: x[0], batch)
+
+
+class Trainer:
+    def __init__(self, system, datamodule, train_cfg, output_dir="output",
+                 exp_name="exp", log_every=None, vocoder=None):
+        self.system = system
+        self.dm = datamodule
+        self.tcfg = train_cfg
+        self.steps = train_cfg["step"]
+        self.output_dir = output_dir
+        self.exp_name = exp_name
+        self.ckpt_dir = os.path.join(output_dir, "ckpt", exp_name)
+        self.saver = Saver(
+            log_dir=os.path.join(output_dir, "log", exp_name),
+            result_dir=os.path.join(output_dir, "result", exp_name))
+        self.vocoder = vocoder
+
+    # ------------------------------------------------------------- train
+
+    def fit(self, resume_from=None, max_steps=None):
+        sys = self.system
+        total = max_steps or self.steps["total_step"]
+        log_every = self.steps["log_step"]
+        val_every = self.steps["val_step"]
+        save_every = self.steps["save_step"]
+
+        if resume_from:
+            params, state, opt_state, step, report = load_checkpoint(
+                resume_from, sys.params, sys.state, sys.opt_state)
+            sys.params, sys.state = params, state
+            if opt_state is not None:
+                sys.opt_state = opt_state
+            sys.global_step = step
+            for r in report:
+                print(f"[ckpt surgery] {r}")
+
+        meta = sys.algorithm_type in ("meta", "imaml")
+        if meta:
+            mb = sys.acfg["adapt"]["train"]["meta_batch_size"]
+            gen = self.dm.train_episode_batches(mb)
+        else:
+            bs = self.tcfg["optimizer"]["batch_size"]
+            gen = self.dm.train_batches(bs)
+
+        try:
+            from tqdm import tqdm
+            pbar = tqdm(total=total, initial=sys.global_step, desc="train",
+                        dynamic_ncols=True)
+        except ImportError:
+            pbar = None
+
+        t0 = time.time()
+        while sys.global_step < total:
+            if meta:
+                sup, qry, _, _ = next(gen)
+                losses = sys.train_step(sup, qry)
+            else:
+                batch, _ = next(gen)
+                losses = sys.train_step(batch)
+            step = sys.global_step
+            if pbar is not None:
+                pbar.update(1)
+                pbar.set_postfix(total=f"{float(losses.total):.3f}")
+            if step % log_every == 0 or step == total:
+                self.saver.log_train(step, losses)
+                rate = step / max(time.time() - t0, 1e-9)
+                print(f"step {step}/{total} total={float(losses.total):.4f} "
+                      f"mel={float(losses.mel):.4f} ({rate:.2f} it/s)")
+            if step % val_every == 0 and hasattr(self.dm, "val_episodes"):
+                self.validate(step)
+            if step % save_every == 0 or step == total:
+                path = os.path.join(self.ckpt_dir, f"step_{step}.ckpt")
+                save_checkpoint(path, sys.params, sys.state, sys.opt_state,
+                                step)
+                save_checkpoint(os.path.join(self.ckpt_dir, "last.ckpt"),
+                                sys.params, sys.state, sys.opt_state, step)
+        return sys
+
+    # ---------------------------------------------------------- validate
+
+    def validate(self, step, max_tasks=None):
+        from ..data.collate import collate_episode
+        totals = []
+        for i, (desc, (sup, qry)) in enumerate(self.dm.val_episodes()):
+            if max_tasks and i >= max_tasks:
+                break
+            sup_b, qry_b, _, _ = collate_episode([sup], [qry])
+            losses = self.system.validation_step(
+                _first_episode(sup_b), _first_episode(qry_b))
+            totals.append([float(x) for x in losses])
+            self.saver.log_task_csv("Validation", f"val_{i:03d}",
+                                    [(step, LossValues(*totals[-1]))])
+        if totals:
+            mean = np.mean(totals, axis=0)
+            print(f"[val @ {step}] total={mean[0]:.4f} mel={mean[1]:.4f}")
+        return totals
+
+    # -------------------------------------------------------------- test
+
+    def test(self, ckpt_step="last", max_tasks=None):
+        """Few-shot test: adapt on support, synthesize query, save artifacts
+        (reference ``base_adaptor.py:136-189`` + Saver test tree)."""
+        from ..data.collate import collate_episode
+        test_cfg = self.system.acfg["adapt"]["test"]
+        if test_cfg.get("avg_train_spk_emb") and \
+                "speaker_emb" in self.system.params and \
+                "table" in self.system.params["speaker_emb"]:
+            # overwrite unseen-speaker rows with the mean train embedding
+            # (reference on_test_start, system.py:195-213)
+            from .checkpoint import average_speaker_rows
+            train_rows = sorted({self.dm.train_set[i]["speaker"]
+                                 for i in range(len(self.dm.train_set))})
+            self.system.params = average_speaker_rows(
+                self.system.params, train_rows)
+            print(f"[test] avg_train_spk_emb over {len(train_rows)} rows")
+        results = {}
+        for i, (desc, (sup, qry)) in enumerate(self.dm.test_episodes()):
+            if max_tasks and i >= max_tasks:
+                break
+            task_id = f"test_{i:03d}"
+            sup_b, qry_b, _, _ = collate_episode([sup], [qry])
+            rows, adapted = self.system.test_adapt(
+                _first_episode(sup_b), _first_episode(qry_b))
+            self.saver.log_task_csv("Testing", task_id, rows,
+                                    ckpt_step=ckpt_step)
+            results[task_id] = rows
+        return results

@@ -1,0 +1,97 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from metatts_tpu.evaluation.similarity import (centroid_similarity,
+                                               pair_similarity)
+from metatts_tpu.evaluation.verification import speaker_verification_eer
+from metatts_tpu.evaluation.dvector import DVectorEncoder
+from metatts_tpu.train.checkpoint import (save_checkpoint, load_checkpoint,
+                                          average_speaker_rows)
+from metatts_tpu.train.optim import noam_schedule
+
+
+def _clustered_dvecs(rng, n_speakers=4, per=10, d=32, sep=3.0):
+    out = {}
+    for s in range(n_speakers):
+        center = rng.randn(d) * sep
+        v = center[None] + rng.randn(per, d)
+        out[f"spk{s}"] = v / np.linalg.norm(v, axis=1, keepdims=True)
+    return out
+
+
+def test_eer_separable_clusters():
+    rng = np.random.RandomState(0)
+    dvecs = _clustered_dvecs(rng)
+    same, diff = pair_similarity(dvecs)
+    res = speaker_verification_eer(same, diff)
+    assert res["eer"] < 0.1
+    assert res["auc"] > 0.9
+    # random clusters -> EER near 0.5
+    rnd = _clustered_dvecs(rng, sep=0.0)
+    same2, diff2 = pair_similarity(rnd)
+    res2 = speaker_verification_eer(same2, diff2)
+    assert 0.3 < res2["eer"] < 0.7
+
+
+def test_centroid_similarity():
+    rng = np.random.RandomState(1)
+    enroll = rng.randn(5, 16) + 4.0
+    test_same = rng.randn(3, 16) + 4.0
+    test_diff = rng.randn(3, 16) - 4.0
+    s1 = centroid_similarity(enroll, test_same)
+    s2 = centroid_similarity(enroll, test_diff)
+    assert s1.mean() > s2.mean()
+
+
+def test_dvector_encoder_runs():
+    enc = DVectorEncoder()
+    sr = 22050
+    t = np.arange(sr) / sr
+    wav = 0.4 * np.sin(2 * np.pi * 150 * t)
+    d = enc.embed_utterance(wav.astype(np.float32), sr)
+    assert d.shape == (256,)
+    np.testing.assert_allclose(np.linalg.norm(d), 1.0, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"a": {"w": jnp.ones((3, 4))}, "b": jnp.zeros((2,))}
+    state = {"s": jnp.full((2,), 7.0)}
+    opt = {"count": jnp.zeros((), jnp.int32)}
+    path = str(tmp_path / "x.ckpt")
+    save_checkpoint(path, params, state, opt, 123)
+    p2, s2, o2, step, rep = load_checkpoint(path, params, state, opt)
+    assert step == 123 and rep == []
+    np.testing.assert_allclose(np.asarray(p2["a"]["w"]), 1.0)
+
+
+def test_checkpoint_speaker_table_surgery(tmp_path):
+    # save with 4 speakers, load into 8-speaker model
+    small = {"speaker_emb": {"table": jnp.arange(4 * 3, dtype=jnp.float32)
+                             .reshape(4, 3)}}
+    path = str(tmp_path / "s.ckpt")
+    save_checkpoint(path, small, {}, {}, 5)
+    big = {"speaker_emb": {"table": jnp.full((8, 3), -1.0)}}
+    p2, _, opt2, step, rep = load_checkpoint(path, big, {}, {})
+    assert opt2 is None               # optimizer discarded after surgery
+    assert any("resized" in r for r in rep)
+    t = np.asarray(p2["speaker_emb"]["table"])
+    np.testing.assert_allclose(t[:4].ravel(), np.arange(12))
+    np.testing.assert_allclose(t[4:], -1.0)
+
+
+def test_average_speaker_rows():
+    params = {"speaker_emb": {"table": jnp.asarray(
+        [[1.0, 1.0], [3.0, 3.0], [10.0, 10.0]])}}
+    out = average_speaker_rows(params, train_rows=[0, 1])
+    np.testing.assert_allclose(np.asarray(out["speaker_emb"]["table"]),
+                               2.0)
+
+
+def test_noam_schedule_shape():
+    lr = noam_schedule(256, 4000, [300000], 0.3)
+    v1, v4k, v10k = (float(lr(jnp.asarray(s))) for s in (1, 4000, 10000))
+    assert v1 < v4k                       # warmup rises
+    assert v10k < v4k                     # inverse-sqrt decays
+    v300k, v300k1 = (float(lr(jnp.asarray(s))) for s in (299999, 300001))
+    np.testing.assert_allclose(v300k1 / v300k, 0.3, rtol=0.01)

@@ -1,0 +1,102 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from metatts_tpu.models import (Batch, fastspeech2_init, fastspeech2_apply,
+                                fastspeech2_loss)
+from helpers import (tiny_model_cfg, tiny_preprocess_cfg, algorithm_cfg,
+                     synth_batch, STATS)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mcfg = tiny_model_cfg()
+    pcfg = tiny_preprocess_cfg()
+    acfg = algorithm_cfg("meta")
+    params, state = fastspeech2_init(
+        jax.random.PRNGKey(0), pcfg, mcfg, acfg, STATS, n_speakers=4)
+    return mcfg, pcfg, acfg, params, state
+
+
+def test_init_param_tree(setup):
+    mcfg, pcfg, acfg, params, state = setup
+    assert set(params) == {"encoder", "variance_adaptor", "decoder",
+                           "mel_linear", "postnet", "speaker_emb"}
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    assert n_params > 10_000
+
+
+def test_teacher_forced_forward(setup):
+    mcfg, pcfg, acfg, params, state = setup
+    batch = synth_batch(np.random.RandomState(0))
+    out, new_state = fastspeech2_apply(params, state, batch, mcfg, pcfg, acfg,
+                                       train=False)
+    B, T, n_mels = batch.mels.shape
+    assert out.mel.shape == (B, T, n_mels)
+    assert out.postnet_mel.shape == (B, T, n_mels)
+    assert out.p_pred.shape == batch.texts.shape
+    assert np.isfinite(np.asarray(out.postnet_mel)).all()
+    # padded frames (beyond target durations) produce a valid mask
+    assert np.array_equal(np.asarray(out.mel_lens), np.asarray(batch.mel_lens))
+
+
+def test_synthesis_forward_no_targets(setup):
+    mcfg, pcfg, acfg, params, state = setup
+    batch = synth_batch(np.random.RandomState(1))
+    infer = batch._replace(mels=None, mel_lens=None, p_targets=None,
+                           e_targets=None, d_targets=None)
+    out, _ = fastspeech2_apply(params, state, infer, mcfg, pcfg, acfg,
+                               train=False, max_mel_len=32)
+    assert out.mel.shape == (2, 32, 8)
+    assert out.d_rounded.dtype == jnp.int32
+    assert np.isfinite(np.asarray(out.mel)).all()
+    # durations predicted, mel_lens derived from them
+    assert (np.asarray(out.mel_lens) >= 0).all()
+
+
+def test_loss_finite_and_positive(setup):
+    mcfg, pcfg, acfg, params, state = setup
+    batch = synth_batch(np.random.RandomState(2))
+    out, _ = fastspeech2_apply(params, state, batch, mcfg, pcfg, acfg,
+                               train=False)
+    losses = fastspeech2_loss(batch, out, pcfg)
+    total = float(losses.total)
+    assert np.isfinite(total) and total > 0
+    parts = sum(float(x) for x in [losses.mel, losses.postnet_mel,
+                                   losses.pitch, losses.energy,
+                                   losses.duration])
+    np.testing.assert_allclose(total, parts, rtol=1e-5)
+
+
+def test_dropout_rngs_change_output(setup):
+    mcfg, pcfg, acfg, params, state = setup
+    batch = synth_batch(np.random.RandomState(3))
+    out1, _ = fastspeech2_apply(params, state, batch, mcfg, pcfg, acfg,
+                                train=True, rng=jax.random.PRNGKey(1))
+    out2, _ = fastspeech2_apply(params, state, batch, mcfg, pcfg, acfg,
+                                train=True, rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(out1.mel), np.asarray(out2.mel))
+    # deterministic in eval
+    out3, _ = fastspeech2_apply(params, state, batch, mcfg, pcfg, acfg,
+                                train=False)
+    out4, _ = fastspeech2_apply(params, state, batch, mcfg, pcfg, acfg,
+                                train=False)
+    np.testing.assert_allclose(np.asarray(out3.mel), np.asarray(out4.mel))
+
+
+def test_grad_flows_everywhere(setup):
+    mcfg, pcfg, acfg, params, state = setup
+    batch = synth_batch(np.random.RandomState(4))
+
+    def loss_fn(p):
+        out, _ = fastspeech2_apply(p, state, batch, mcfg, pcfg, acfg,
+                                   train=False)
+        return fastspeech2_loss(batch, out, pcfg).total
+
+    grads = jax.grad(loss_fn)(params)
+    for key in ["encoder", "variance_adaptor", "decoder", "mel_linear",
+                "postnet", "speaker_emb"]:
+        gnorm = sum(float(jnp.sum(jnp.abs(g)))
+                    for g in jax.tree.leaves(grads[key]))
+        assert gnorm > 0, f"no gradient into {key}"

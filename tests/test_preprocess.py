@@ -1,0 +1,169 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from metatts_tpu.preprocess.textgrid import read_textgrid
+from metatts_tpu.preprocess.preprocessor import Preprocessor
+from metatts_tpu.preprocess.pitch import yin_f0
+from metatts_tpu.preprocess.audio_io import save_wav, load_wav
+from metatts_tpu.data import TTSDataset, EpisodeSampler, get_datamodule
+from metatts_tpu.data.collate import collate_batch, collate_episode
+from metatts_tpu import config as C
+
+REF_TG = ("/root/reference/preprocessed_data/example_corpus/TextGrid/"
+          "speaker1/speaker1_utterance1.TextGrid")
+
+SR = 22050
+HOP = 256
+
+
+def _write_textgrid(path, phones, sec_per_phone=0.12):
+    """Emit a long-form TextGrid with a phones tier."""
+    t = 0.0
+    items = []
+    for p in phones:
+        items.append((t, t + sec_per_phone, p))
+        t += sec_per_phone
+    xmax = t
+    lines = [
+        'File type = "ooTextFile"', 'Object class = "TextGrid"', "",
+        "xmin = 0.0", f"xmax = {xmax}", "tiers? <exists>", "size = 1",
+        "item []:", "\titem [1]:", '\t\tclass = "IntervalTier"',
+        '\t\tname = "phones"', "\t\txmin = 0.0", f"\t\txmax = {xmax}",
+        f"\t\tintervals: size = {len(items)}",
+    ]
+    for i, (s, e, p) in enumerate(items):
+        lines += [f"\t\tintervals [{i+1}]:", f"\t\t\txmin = {s}",
+                  f"\t\t\txmax = {e}", f'\t\t\ttext = "{p}"']
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Synthetic 2-speaker corpus: harmonic tones with per-speaker f0."""
+    root = tmp_path_factory.mktemp("corpus")
+    raw = root / "raw_data"
+    out = root / "preprocessed"
+    phones = ["HH", "AH0", "sp", "L", "OW1"]
+    rng = np.random.RandomState(0)
+    for spk, f0 in [("spk_a", 120.0), ("spk_b", 220.0)]:
+        for u in range(6):
+            base = f"{spk}_utt{u}"
+            dur = 0.12 * len(phones) + 0.1
+            t = np.arange(int(SR * dur)) / SR
+            f = f0 * (1 + 0.05 * np.sin(2 * np.pi * (u + 1) * t))
+            wav = 0.4 * np.sin(2 * np.pi * np.cumsum(f) / SR)
+            wav += 0.1 * np.sin(2 * np.pi * 2 * np.cumsum(f) / SR)
+            wav += 0.01 * rng.randn(len(t))
+            d = raw / "train" / spk
+            os.makedirs(d, exist_ok=True)
+            save_wav(str(d / f"{base}.wav"), wav.astype(np.float32), SR)
+            (d / f"{base}.lab").write_text("hello")
+            _write_textgrid(str(out / "TextGrid" / spk /
+                                f"{base}.TextGrid"), phones)
+    cfg = C.deep_merge(C.PREPROCESS_DEFAULTS, {
+        "dataset": "synth",
+        "path": {"raw_path": str(raw), "preprocessed_path": str(out)},
+        "subsets": {"train": "train", "val": "train", "test": "train"},
+    })
+    pre = Preprocessor(cfg)
+    outs = pre.build_from_path()
+    return cfg, outs
+
+
+def test_reference_textgrid_parses():
+    tg = read_textgrid(REF_TG)
+    phones = tg.get_tier_by_name("phones")
+    assert len(phones.intervals) == 15
+    words = tg.get_tier_by_name("words")
+    assert words.intervals[0].text == "tom"
+    assert abs(words.intervals[0].end_time - 0.36) < 1e-9
+
+
+def test_preprocessor_artifacts(corpus):
+    cfg, outs = corpus
+    out = cfg["path"]["preprocessed_path"]
+    assert len(outs["train"]) == 12
+    stats = json.load(open(os.path.join(out, "stats.json")))
+    assert len(stats["pitch"]) == 4 and len(stats["energy"]) == 4
+    speakers = json.load(open(os.path.join(out, "speakers.json")))
+    assert set(speakers) == {"spk_a", "spk_b"}
+    # per-utterance artifacts exist and are aligned
+    line = outs["train"][0]
+    base, spk, text, raw = line.split("|")
+    dur = np.load(os.path.join(out, "duration", f"{spk}-duration-{base}.npy"))
+    pitch = np.load(os.path.join(out, "pitch", f"{spk}-pitch-{base}.npy"))
+    mel = np.load(os.path.join(out, "mel", f"{spk}-mel-{base}.npy"))
+    assert len(pitch) == len(dur)           # phoneme-level averaging
+    assert mel.shape == (dur.sum(), 80)
+    assert text.startswith("{") and "sp" in text
+    # normalized pitch ~ zero-mean across corpus
+    assert abs(stats["pitch"][2]) > 0       # raw mean saved
+    slices = np.load(os.path.join(out, "spk_ref_mel_slices",
+                                  f"{spk}-mel-{base}.npy"))
+    assert slices.ndim == 3 and slices.shape[1:] == (160, 40)
+
+
+def test_pitch_separates_speakers(corpus):
+    cfg, outs = corpus
+    out = cfg["path"]["preprocessed_path"]
+    stats = json.load(open(os.path.join(out, "stats.json")))
+    mean, std = stats["pitch"][2], stats["pitch"][3]
+    by_spk = {}
+    for line in outs["train"]:
+        base, spk, _, _ = line.split("|")
+        p = np.load(os.path.join(out, "pitch", f"{spk}-pitch-{base}.npy"))
+        by_spk.setdefault(spk, []).append((p * std + mean).mean())
+    assert np.mean(by_spk["spk_a"]) < np.mean(by_spk["spk_b"])
+    assert 100 < np.mean(by_spk["spk_a"]) < 140
+    assert 190 < np.mean(by_spk["spk_b"]) < 250
+
+
+def test_dataset_and_collate(corpus):
+    cfg, _ = corpus
+    ds = TTSDataset("train.txt", cfg)
+    assert len(ds) == 12
+    s = ds[0]
+    assert s["text"].ndim == 1 and s["mel"].shape[1] == 80
+    assert len(s["duration"]) == len(s["text"])
+    batch, meta = collate_batch([ds[0], ds[1], ds[6]])
+    assert batch.texts.shape[0] == 3
+    assert batch.texts.shape[1] % 32 == 0
+    assert batch.mels.shape[1] % 128 == 0
+    assert int(batch.d_targets.sum(1)[0]) == int(batch.mel_lens[0])
+
+
+def test_episode_sampler_and_persistence(corpus, tmp_path):
+    cfg, _ = corpus
+    ds = TTSDataset("train.txt", cfg)
+    sampler = EpisodeSampler(ds, shots=2, queries=2, seed=7)
+    sup, qry = sampler.sample_episode()
+    assert len(sup) == 2 and len(qry) == 2
+    # 1-way: all samples same speaker
+    assert len({s["speaker"] for s in sup + qry}) == 1
+    descs = sampler.tasks_or_prefetch(2, str(tmp_path), "val")
+    descs2 = EpisodeSampler.load_tasks(str(tmp_path), "val")
+    assert descs == descs2
+    assert len(descs) == 4  # 2 speakers x 2 tasks
+    sup2, qry2 = sampler.episode_from_description(descs[0])
+    assert len(sup2) == 2
+
+
+def test_meta_datamodule_episode_batches(corpus):
+    cfg, _ = corpus
+    from metatts_tpu import config as C2
+    import copy
+    acfg = copy.deepcopy(C2.ALGORITHM_DEFAULTS)
+    acfg["type"] = "meta"
+    acfg["adapt"]["train"].update(shots=2, queries=2)
+    dm = get_datamodule("meta")([cfg], C2.TRAIN_DEFAULTS, acfg)
+    dm.setup()
+    sup, qry, sup_meta, qry_meta = next(dm.train_episode_batches(2))
+    assert sup.texts.shape[0] == 2           # episodes
+    assert sup.texts.shape[1] == 2           # shots
+    assert qry.texts.shape[:2] == (2, 2)
+    assert sup.texts.shape[2] == qry.texts.shape[2]  # shared bucket

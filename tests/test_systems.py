@@ -1,0 +1,134 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from metatts_tpu.algorithms import get_system
+from metatts_tpu.algorithms.adapt import Adaptor, partition
+from metatts_tpu.models.fastspeech2 import fastspeech2_init
+from helpers import (tiny_model_cfg, tiny_preprocess_cfg, tiny_train_cfg,
+                     algorithm_cfg, synth_batch, STATS)
+
+
+def make_system(alg_type, **adapt_over):
+    cls = get_system(alg_type)
+    return cls(tiny_preprocess_cfg(), tiny_model_cfg(), tiny_train_cfg(),
+               algorithm_cfg(alg_type, **adapt_over), stats=STATS,
+               n_speakers=4)
+
+
+@pytest.fixture(scope="module")
+def meta_sys():
+    return make_system("meta")
+
+
+@pytest.fixture(scope="module")
+def baseline_sys():
+    return make_system("baseline")
+
+
+def test_baseline_loss_decreases(baseline_sys):
+    sys = baseline_sys
+    rng = np.random.RandomState(0)
+    batch = synth_batch(rng, B=4)
+    first = float(sys.train_step(batch).total)
+    for _ in range(15):
+        losses = sys.train_step(batch)
+    assert float(losses.total) < first
+    assert sys.global_step == 16
+
+
+def test_adapt_reduces_support_loss(meta_sys):
+    sys = meta_sys
+    adaptor = sys.adaptor
+    sup = synth_batch(np.random.RandomState(1), B=2)
+
+    def sup_loss(params):
+        out, _ = adaptor.forward(params, sys.state, sup, train=False)
+        return float(adaptor.loss(sup, out).total)
+
+    before = sup_loss(sys.params)
+    adapted = jax.jit(lambda p: adaptor.adapt(
+        p, sys.state, sup, steps=5, lr=0.001,
+        first_order=True, train=False, rng=None))(sys.params)
+    after = sup_loss(adapted)
+    assert after < before
+    # frozen modules untouched
+    _, frozen = partition(sys.params, adaptor.modules)
+    for k in frozen:
+        same = jax.tree.map(lambda a, b: np.allclose(a, b),
+                            frozen[k], adapted[k])
+        assert all(jax.tree.leaves(same)), f"{k} changed by adapt"
+
+
+def test_meta_train_step_runs_and_learns(meta_sys):
+    sys = meta_sys
+    rng = np.random.RandomState(2)
+    sup = synth_batch(rng, B=2, episode_axis=2)
+    qry = synth_batch(rng, B=2, episode_axis=2)
+    first = float(sys.train_step(sup, qry).total)
+    for _ in range(10):
+        losses = sys.train_step(sup, qry)
+    assert np.isfinite(float(losses.total))
+    assert float(losses.total) < first
+
+
+def test_second_order_differs_from_first_order(meta_sys):
+    """The MAML outer gradient must include the grad-through-inner-loop term."""
+    sys = meta_sys
+    adaptor = sys.adaptor
+    rng = np.random.RandomState(3)
+    sup = synth_batch(rng, B=2)
+    qry = synth_batch(rng, B=2)
+
+    def meta_loss(params, first_order):
+        adapted = adaptor.adapt(params, sys.state, sup, steps=2, lr=0.01,
+                                first_order=first_order, train=False,
+                                rng=None)
+        qry_c = qry._replace(speaker_args=sup.speaker_args[:1].repeat(2))
+        out, _ = adaptor.forward(adapted, sys.state, qry_c, train=False,
+                                 average_spk_emb=True)
+        return adaptor.loss(qry_c, out).total
+
+    g2 = jax.jit(jax.grad(lambda p: meta_loss(p, False)))(sys.params)
+    g1 = jax.jit(jax.grad(lambda p: meta_loss(p, True)))(sys.params)
+    # same loss value, different gradients
+    d2 = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g2["decoder"])])
+    d1 = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g1["decoder"])])
+    assert not np.allclose(np.asarray(d1), np.asarray(d2), atol=1e-7)
+
+
+def test_meta_validation_step(meta_sys):
+    sys = meta_sys
+    rng = np.random.RandomState(4)
+    losses = sys.validation_step(synth_batch(rng, B=2), synth_batch(rng, B=2))
+    assert np.isfinite(float(losses.total))
+
+
+def test_test_adapt_snapshots(meta_sys):
+    sys = meta_sys
+    rng = np.random.RandomState(5)
+    results, adapted = sys.test_adapt(synth_batch(rng, B=2),
+                                      synth_batch(rng, B=1))
+    steps = [s for s, _ in results]
+    assert steps == [0, 5, 10]
+    for _, l in results:
+        assert np.isfinite(float(l.total))
+
+
+def test_imaml_train_step():
+    sys = make_system("imaml")
+    rng = np.random.RandomState(6)
+    sup = synth_batch(rng, B=2, episode_axis=2)
+    qry = synth_batch(rng, B=2, episode_axis=2)
+    first = float(sys.train_step(sup, qry).total)
+    for _ in range(5):
+        losses = sys.train_step(sup, qry)
+    assert np.isfinite(float(losses.total))
+
+
+def test_baseline_meta_style_validation(baseline_sys):
+    sys = baseline_sys
+    rng = np.random.RandomState(7)
+    losses = sys.validation_step(synth_batch(rng, B=2), synth_batch(rng, B=2))
+    assert np.isfinite(float(losses.total))
