@@ -1,0 +1,72 @@
+"""Offline evaluation CLI (reference ``evaluation/main.py:8-27`` pipeline):
+wavs -> d-vectors -> similarity -> EER/DET/AUC -> reports + plots.
+
+  python evaluate.py --real <dir-of-speaker-dirs> \\
+                     --result <output/result/<exp>> \\
+                     [--dvector-weights ge2e.npz] [--out eval_out]
+
+Reports mirror ``evaluation/txt/<corpus>/eer.txt`` etc.
+"""
+
+import argparse
+import os
+
+if os.environ.get("METATTS_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["METATTS_PLATFORM"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--real", type=str, required=True,
+                    help="dir of <speaker>/<utt>.wav real/enrollment speech")
+    ap.add_argument("--result", type=str, default=None,
+                    help="Saver result dir with audio/Testing trees")
+    ap.add_argument("--step", type=str, default="step_last")
+    ap.add_argument("--dvector-weights", type=str, default=None)
+    ap.add_argument("--out", type=str, default="eval_out")
+    ap.add_argument("--max-per-speaker", type=int, default=16)
+    args = ap.parse_args()
+
+    from metatts_tpu.evaluation.harness import EvaluationHarness
+    from metatts_tpu.evaluation.similarity import pair_similarity
+    from metatts_tpu.evaluation.verification import speaker_verification_eer
+    from metatts_tpu.evaluation.visualize import (tsne_plot,
+                                                  similarity_density_plot)
+
+    h = EvaluationHarness(cache_dir=os.path.join(args.out, "cache"),
+                          weights_npz=args.dvector_weights)
+    rows = []
+
+    real = h.embed_speaker_dirs(args.real, "real",
+                                max_per_speaker=args.max_per_speaker)
+    res = speaker_verification_eer(*pair_similarity(real))
+    rows.append(("real_eer", f"{res['eer']:.4f}"))
+    rows.append(("real_auc", f"{res['auc']:.4f}"))
+    same, diff = pair_similarity(real)
+    similarity_density_plot(same, diff,
+                            os.path.join(args.out, "real_similarity.png"))
+    tsne_plot(real, os.path.join(args.out, "real_tsne.png"))
+
+    if args.result:
+        for kind in ("recon", "synth"):
+            groups = h.embed_result_tree(args.result, kind, args.step)
+            if not groups:
+                continue
+            r = speaker_verification_eer(*pair_similarity(groups))
+            rows.append((f"{kind}_{args.step}_eer", f"{r['eer']:.4f}"))
+            rows.append((f"{kind}_{args.step}_auc", f"{r['auc']:.4f}"))
+            sims = h.similarity_to_enrollment(real, groups)
+            if sims:
+                import numpy as np
+                rows.append((f"{kind}_{args.step}_centroid_sim",
+                             f"{np.mean(list(sims.values())):.4f}"))
+
+    path = h.write_report(os.path.join(args.out, "eer.txt"), rows)
+    print(f"wrote {path}")
+    for label, value in rows:
+        print(f"  {label}\t{value}")
+
+
+if __name__ == "__main__":
+    main()

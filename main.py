@@ -49,8 +49,13 @@ def main(args, configs):
 
     system, dm = build(configs)
     dm.setup()
+    vocoder = None
+    if args.stage == "train" and not args.no_synth:
+        from metatts_tpu.models.vocoder import Vocoder
+        vocoder = Vocoder(configs[1])
     trainer = Trainer(system, dm, configs[2],
-                      output_dir=args.output_dir, exp_name=args.exp_name)
+                      output_dir=args.output_dir, exp_name=args.exp_name,
+                      vocoder=vocoder)
 
     if args.stage == "train":
         trainer.fit(resume_from=args.ckpt_path, max_steps=args.max_steps)
@@ -123,6 +128,8 @@ if __name__ == "__main__":
     parser.add_argument("--max_tasks", type=int, default=None)
     parser.add_argument("--source", type=str, default=None,
                         help="text source file for predict stage")
+    parser.add_argument("--no_synth", action="store_true",
+                        help="skip in-loop synth_step synthesis")
     args = parser.parse_args()
 
     # platform override (reference falls back to CPU when no GPU,

@@ -13,6 +13,7 @@ import numpy as np
 
 from .checkpoint import save_checkpoint, load_checkpoint
 from .saver import Saver
+from .logging import ExperimentLogger
 from ..models.loss import LossValues
 
 
@@ -35,6 +36,7 @@ class Trainer:
         self.saver = Saver(
             log_dir=os.path.join(output_dir, "log", exp_name),
             result_dir=os.path.join(output_dir, "result", exp_name))
+        self.logger = ExperimentLogger(self.saver.log_dir, exp_name)
         self.vocoder = vocoder
 
     # ------------------------------------------------------------- train
@@ -45,6 +47,10 @@ class Trainer:
         log_every = self.steps["log_step"]
         val_every = self.steps["val_step"]
         save_every = self.steps["save_step"]
+
+        self.logger.log_hyperparams({
+            "model": self.system.mcfg, "train": self.tcfg,
+            "algorithm": self.system.acfg})
 
         if resume_from:
             params, state, opt_state, step, report = load_checkpoint(
@@ -85,11 +91,20 @@ class Trainer:
                 pbar.set_postfix(total=f"{float(losses.total):.3f}")
             if step % log_every == 0 or step == total:
                 self.saver.log_train(step, losses)
+                self.logger.log_metrics(step, losses.to_dict("train/"))
                 rate = step / max(time.time() - t0, 1e-9)
                 print(f"step {step}/{total} total={float(losses.total):.4f} "
                       f"mel={float(losses.mel):.4f} ({rate:.2f} it/s)")
             if step % val_every == 0 and hasattr(self.dm, "val_episodes"):
                 self.validate(step)
+            synth_every = self.steps.get("synth_step", 0)
+            if self.vocoder is not None and synth_every and \
+                    step % synth_every == 0:
+                try:
+                    self.synth_sample(step, sup if meta else batch,
+                                      episode_batched=meta)
+                except Exception as e:  # synthesis must not kill training
+                    print(f"[synth_step {step}] failed: {e}")
             if step % save_every == 0 or step == total:
                 path = os.path.join(self.ckpt_dir, f"step_{step}.ckpt")
                 save_checkpoint(path, sys.params, sys.state, sys.opt_state,
@@ -147,3 +162,34 @@ class Trainer:
                                     ckpt_step=ckpt_step)
             results[task_id] = rows
         return results
+
+    # --------------------------------------------------- in-loop synthesis
+
+    def synth_sample(self, step, batch, episode_batched=False):
+        """Every synth_step: reconstruct + synthesize one training sample
+        through the vocoder (reference Saver, ``saver.py:51-59,214-274``)."""
+        import jax
+        import numpy as np
+
+        if episode_batched:
+            batch = _first_episode(batch)
+        one = jax.tree.map(lambda x: x[:1], batch)
+        recon_out, _ = self.system.adaptor.forward(
+            self.system.params, self.system.state, one, train=False)
+        synth_out, _ = self.system.adaptor.forward(
+            self.system.params, self.system.state, one, train=False,
+            teacher_forced=False)
+        hop = self.system.pcfg["preprocessing"]["stft"]["hop_length"]
+        for tag, out in (("recon", recon_out), ("synth", synth_out)):
+            mel_len = int(np.asarray(out.mel_lens)[0])
+            if mel_len <= 0:
+                continue
+            wav = self.vocoder.infer(out.postnet_mel[:, :mel_len],
+                                     lengths=[mel_len * hop])[0]
+            path = self.saver.save_audio("Training", f"step_{step}",
+                                         f"sample.{tag}", wav)
+            self.logger.log_artifact(step, "audio", path)
+            fig = self.saver.save_mel_figure(
+                "Training", f"step_{step}", f"sample.{tag}",
+                np.asarray(out.postnet_mel[0, :mel_len]))
+            self.logger.log_artifact(step, "figure", fig)

@@ -1,0 +1,91 @@
+"""Convert pretrained torch checkpoints into this framework's param pytrees.
+
+Supported sources (the external weights the reference relies on):
+  * resemblyzer VoiceEncoder (GE2E d-vector LSTM)  -> evaluation/dvector npz
+  * descriptinc MelGAN generator (torch.hub ckpt)  -> models/vocoder MelGAN
+  * jik876 HiFi-GAN generator (config v1)          -> models/vocoder HiFi-GAN
+  * the reference FastSpeech2 Lightning checkpoint -> full acoustic params
+
+Weight-norm is folded (w = g * v / ||v||).  torch (CPU) is used only here,
+offline — never in the compute path.
+
+Usage:
+  python tools/convert_torch_weights.py ge2e   encoder.pt  out/ge2e.npz
+  python tools/convert_torch_weights.py melgan melgan.pt   out/melgan.npz
+  python tools/convert_torch_weights.py hifigan g_02500000 out/hifigan.npz
+  python tools/convert_torch_weights.py fastspeech2 meta.ckpt out/fs2.npz
+"""
+
+import sys
+
+import numpy as np
+
+
+def _load_torch(path):
+    import torch
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict):
+        for key in ("state_dict", "generator", "model"):
+            if key in blob and isinstance(blob[key], dict):
+                blob = blob[key]
+                break
+    return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in blob.items() if hasattr(v, "shape")}
+
+
+def _fold_weight_norm(sd, base):
+    """torch weight_norm stores <base>.weight_g / .weight_v."""
+    g, v = sd.get(f"{base}.weight_g"), sd.get(f"{base}.weight_v")
+    if g is None:
+        return sd.get(f"{base}.weight")
+    norm = np.sqrt((v ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def convert_ge2e(src, dst):
+    sd = _load_torch(src)
+    out = {}
+    for k in range(3):
+        for part in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            out[f"lstm.{part}_l{k}"] = sd[f"lstm.{part}_l{k}"]
+    out["linear.weight"] = sd["linear.weight"]
+    out["linear.bias"] = sd["linear.bias"]
+    np.savez(dst, **out)
+    print(f"wrote {dst}: {len(out)} arrays")
+
+
+def convert_melgan(src, dst):
+    """descriptinc melgan generator: sequential indices
+    model.{i} ... with weight-norm convs."""
+    sd = _load_torch(src)
+    out = {}
+    for k in sorted(sd):
+        if k.endswith(".weight_v"):
+            base = k[: -len(".weight_v")]
+            out[base + ".weight"] = _fold_weight_norm(sd, base)
+        elif k.endswith((".bias",)):
+            out[k] = sd[k]
+        elif k.endswith(".weight") and k[:-7] + ".weight_v" not in sd:
+            out[k] = sd[k]
+    np.savez(dst, **out)
+    print(f"wrote {dst}: {len(out)} arrays (weight-norm folded)")
+
+
+convert_hifigan = convert_melgan  # same folding logic, different key layout
+
+
+def convert_fastspeech2(src, dst):
+    """Reference Lightning checkpoint -> npz of raw arrays; mapping into our
+    pytree happens at load via tools/load_reference_fs2.py naming rules."""
+    sd = _load_torch(src)
+    np.savez(dst, **{k: v for k, v in sd.items()})
+    print(f"wrote {dst}: {len(sd)} arrays")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 4:
+        raise SystemExit(__doc__)
+    kind, src, dst = sys.argv[1:]
+    {"ge2e": convert_ge2e, "melgan": convert_melgan,
+     "hifigan": convert_hifigan,
+     "fastspeech2": convert_fastspeech2}[kind](src, dst)
