@@ -84,6 +84,35 @@ def main():
     frames_per_step = sup_frames * INNER_STEPS + qry_frames
     value = frames_per_step / dt
 
+    # second metric (BASELINE.json): RTF of a test-time speaker-adaptation
+    # episode — 100 first-order adapt steps on the support set + query
+    # synthesis through the MelGAN vocoder, vs the audio duration produced.
+    from metatts_tpu.models.vocoder import Vocoder
+    import jax.tree as jtree
+    sup1 = jtree.map(lambda x: x[0], sup)
+    qry1 = jtree.map(lambda x: x[0], qry)
+    vocoder = Vocoder({"vocoder": {"model": "MelGAN"}})
+
+    def episode(params):
+        adapted = system.adaptor.adapt(
+            params, system.state, sup1, steps=100,
+            lr=system.acfg["adapt"]["test"]["lr"],
+            first_order=True, train=False, rng=None)
+        out, _ = system.adaptor.forward(adapted, system.state, qry1,
+                                        train=False, average_spk_emb=True)
+        return out.postnet_mel, out.mel_lens
+
+    epi = jax.jit(episode)
+    mels, mel_lens = epi(system.params)           # compile
+    jax.block_until_ready(mels)
+    wavs = vocoder.infer(mels)                    # compile vocoder
+    t0 = time.time()
+    mels, mel_lens = epi(system.params)
+    wavs = vocoder.infer(mels, lengths=np.asarray(mel_lens) * 256)
+    adapt_synth_s = time.time() - t0
+    audio_s = float(np.asarray(mel_lens).sum()) * 256 / 22050.0
+    rtf = adapt_synth_s / max(audio_s, 1e-6)
+
     print(json.dumps({
         "metric": "train_mel_frames_per_sec_per_chip",
         "value": round(value, 1),
@@ -93,6 +122,8 @@ def main():
         "step_time_ms": round(dt * 1e3, 2),
         "compile_s": round(compile_s, 1),
         "loss": float(losses.total),
+        "adapt100_synth_rtf": round(rtf, 4),
+        "adapt100_synth_s": round(adapt_synth_s, 3),
     }))
 
 

@@ -52,7 +52,8 @@ def main(args, configs):
     vocoder = None
     if args.stage == "train" and not args.no_synth:
         from metatts_tpu.models.vocoder import Vocoder
-        vocoder = Vocoder(configs[1])
+        vocoder = Vocoder(configs[1], n_mels=configs[0][0][
+            "preprocessing"]["mel"]["n_mel_channels"])
     trainer = Trainer(system, dm, configs[2],
                       output_dir=args.output_dir, exp_name=args.exp_name,
                       vocoder=vocoder)
@@ -97,7 +98,8 @@ def predict(args, configs, system):
                                 with_mels=False)
     out, _ = system.adaptor.forward(system.params, system.state, batch,
                                     train=False, teacher_forced=False)
-    vocoder = Vocoder(configs[1])
+    vocoder = Vocoder(configs[1], n_mels=configs[0][0][
+        "preprocessing"]["mel"]["n_mel_channels"])
     mel_lens = np.asarray(out.mel_lens)
     wav_lens = mel_lens * configs[0][0]["preprocessing"]["stft"]["hop_length"]
     wavs = vocoder.infer(out.postnet_mel, lengths=wav_lens)

@@ -52,9 +52,10 @@ class Adaptor:
     # ---------------------------------------------------------- forward
 
     def forward(self, params, state, batch, *, train=False, rng=None,
-                teacher_forced=None, average_spk_emb=False, max_mel_len=None):
+                teacher_forced=None, average_spk_emb=False, max_mel_len=None,
+                mcfg=None):
         return fastspeech2_apply(
-            params, state, batch, self.mcfg, self.pcfg, self.acfg,
+            params, state, batch, mcfg or self.mcfg, self.pcfg, self.acfg,
             train=train, rng=rng, teacher_forced=teacher_forced,
             average_spk_emb=average_spk_emb, max_mel_len=max_mel_len)
 
@@ -63,9 +64,10 @@ class Adaptor:
 
     # ------------------------------------------------------- inner loop
 
-    def _support_loss(self, adapted, frozen, state, sup_batch, train, rng):
+    def _support_loss(self, adapted, frozen, state, sup_batch, train, rng,
+                      mcfg=None):
         out, _ = self.forward(merge(adapted, frozen), state, sup_batch,
-                              train=train, rng=rng)
+                              train=train, rng=rng, mcfg=mcfg)
         return self.loss(sup_batch, out).total
 
     def adapt(self, params, state, sup_batch, *, steps, lr,
@@ -77,11 +79,17 @@ class Adaptor:
         train and not first_order.
         """
         adapted, frozen = partition(params, self.modules)
+        # second-order inner loops are differentiated twice; the flash
+        # attention kernel (custom_vjp) only supports one differentiation,
+        # so force the einsum implementation there
+        inner_mcfg = self.mcfg if first_order else \
+            {**self.mcfg, "attention_impl": "einsum"}
         grad_fn = jax.grad(self._support_loss)
 
         def step(carry, step_rng):
             a = carry
-            g = grad_fn(a, frozen, state, sup_batch, train, step_rng)
+            g = grad_fn(a, frozen, state, sup_batch, train, step_rng,
+                        inner_mcfg)
             if first_order:
                 g = jax.lax.stop_gradient(g)
             a = jax.tree.map(lambda p, gi: p - lr * gi, a, g)

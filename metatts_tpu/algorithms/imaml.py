@@ -64,10 +64,15 @@ class IMAMLSystem(System):
     algorithm_type = "imaml"
 
     def _inner_loss(self, adapted, frozen, theta0, state, sup, rng):
-        """Support loss + proximal bias regularization (imaml.py:41-46)."""
+        """Support loss + proximal bias regularization (imaml.py:41-46).
+
+        Uses the einsum attention path: the CG matvec takes VJPs of this
+        loss's gradient (second-order), which the flash custom_vjp kernel
+        does not support."""
         reg = self.acfg["adapt"]["imaml"]["reg_param"]
+        mcfg = {**self.adaptor.mcfg, "attention_impl": "einsum"}
         out, _ = self.adaptor.forward(merge(adapted, frozen), state, sup,
-                                      train=True, rng=rng)
+                                      train=True, rng=rng, mcfg=mcfg)
         task_loss = self.adaptor.loss(sup, out).total
         sq = _tree_dot(_tree_sub(adapted, theta0), _tree_sub(adapted, theta0))
         return task_loss + 0.5 * reg * sq

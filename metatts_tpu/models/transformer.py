@@ -46,20 +46,38 @@ def mha_init(rng, d_model, n_head, d_k, d_v):
     }
 
 
-def mha(p, x, key_valid, n_head, *, cdtype, drop_rate, train, rng):
-    """Self-attention, post-LN residual. key_valid: (B, T) bool."""
+def mha(p, x, key_valid, n_head, *, cdtype, drop_rate, train, rng,
+        attn_impl="einsum"):
+    """Self-attention, post-LN residual. key_valid: (B, T) bool.
+
+    attn_impl:
+      * "einsum" — materialized scores; supports double backward (required
+        inside the second-order MAML inner loop);
+      * "flash"  — Pallas flash kernel (ops/pallas/attention.py): no (T, T)
+        HBM residuals, used on every once-differentiated path.
+    """
     B, T, D = x.shape
     d_k = p["w_q"]["w"].shape[1] // n_head
     q = nn.linear(p["w_q"], x, cdtype).reshape(B, T, n_head, d_k)
     k = nn.linear(p["w_k"], x, cdtype).reshape(B, T, n_head, d_k)
     v = nn.linear(p["w_v"], x, cdtype).reshape(B, T, n_head, d_k)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(cdtype), k.astype(cdtype),
-                        preferred_element_type=jnp.float32)
-    scores = scores / np.sqrt(d_k)
-    scores = jnp.where(key_valid[:, None, None, :], scores, -1e9)
-    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(cdtype), v.astype(cdtype),
-                     preferred_element_type=jnp.float32)
+    if attn_impl == "flash":
+        from ..ops.pallas.attention import flash_attention
+        fold = lambda t: t.transpose(0, 2, 1, 3).reshape(
+            B * n_head, T, d_k).astype(jnp.float32)
+        mask = jnp.repeat(key_valid.astype(jnp.float32), n_head, axis=0)
+        o = flash_attention(fold(q), fold(k), fold(v), mask)
+        out = o.reshape(B, n_head, T, d_k).transpose(0, 2, 1, 3)
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(cdtype),
+                            k.astype(cdtype),
+                            preferred_element_type=jnp.float32)
+        scores = scores / np.sqrt(d_k)
+        scores = jnp.where(key_valid[:, None, None, :], scores, -1e9)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(cdtype),
+                         v.astype(cdtype),
+                         preferred_element_type=jnp.float32)
     out = nn.linear(p["fc"], out.reshape(B, T, n_head * d_k), cdtype)
     out = nn.dropout(rng, out, drop_rate, train)
     return nn.layer_norm(p["ln"], out + x)
@@ -92,10 +110,12 @@ def fft_block_init(rng, d_model, n_head, d_k, d_v, d_inner, kernel_sizes):
             "ffn": ffn_init(k2, d_model, d_inner, kernel_sizes)}
 
 
-def fft_block(p, x, valid, n_head, *, cdtype, drop_rate, train, rng):
+def fft_block(p, x, valid, n_head, *, cdtype, drop_rate, train, rng,
+              attn_impl="einsum"):
     r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
     x = mha(p["attn"], x, valid, n_head,
-            cdtype=cdtype, drop_rate=drop_rate, train=train, rng=r1)
+            cdtype=cdtype, drop_rate=drop_rate, train=train, rng=r1,
+            attn_impl=attn_impl)
     x = jnp.where(valid[..., None], x, 0.0)
     x = ffn(p["ffn"], x, cdtype=cdtype, drop_rate=drop_rate, train=train, rng=r2)
     return jnp.where(valid[..., None], x, 0.0)
@@ -126,17 +146,29 @@ def encoder_apply(p, texts, src_valid, cfg, *, train, rng, pos_table):
     L = texts.shape[1]
     x = nn.embedding(p["src_word_emb"], texts) + pos_table[None, :L]
     blk = _make_block(t["encoder_head"], cdtype, t["encoder_dropout"], train,
-                      cfg.get("remat", False))
+                      cfg.get("remat", False), resolve_attn_impl(cfg))
     for i, lp in enumerate(p["layers"]):
         lrng = jax.random.fold_in(rng, i) if rng is not None else None
         x = blk(lp, x, src_valid, lrng)
     return x
 
 
-def _make_block(n_head, cdtype, drop_rate, train, remat):
+def resolve_attn_impl(cfg):
+    """cfg["attention_impl"]: "flash" | "einsum" | "auto" (default).
+    auto -> flash on TPU, einsum elsewhere (the Pallas interpreter is slow
+    on CPU).  The meta-learning inner loop overrides to einsum because
+    custom_vjp kernels are not twice-differentiable."""
+    impl = cfg.get("attention_impl", "auto")
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "einsum"
+    return impl
+
+
+def _make_block(n_head, cdtype, drop_rate, train, remat, attn_impl):
     def run(lp, x, valid, lrng):
         return fft_block(lp, x, valid, n_head, cdtype=cdtype,
-                         drop_rate=drop_rate, train=train, rng=lrng)
+                         drop_rate=drop_rate, train=train, rng=lrng,
+                         attn_impl=attn_impl)
     return jax.checkpoint(run) if remat else run
 
 
@@ -162,7 +194,7 @@ def decoder_apply(p, x, mel_valid, cfg, *, train, rng, pos_table):
     T = x.shape[1]
     x = x + pos_table[None, :T]
     blk = _make_block(t["decoder_head"], cdtype, t["decoder_dropout"], train,
-                      cfg.get("remat", False))
+                      cfg.get("remat", False), resolve_attn_impl(cfg))
     for i, lp in enumerate(p["layers"]):
         lrng = jax.random.fold_in(rng, i) if rng is not None else None
         x = blk(lp, x, mel_valid, lrng)

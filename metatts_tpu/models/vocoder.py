@@ -151,14 +151,14 @@ class Vocoder:
     """Host wrapper mirroring ``LightningMelGAN.infer``
     (``lightning/utils.py:16-30``)."""
 
-    def __init__(self, model_cfg, rng=None):
+    def __init__(self, model_cfg, rng=None, n_mels=80):
         self.kind = model_cfg["vocoder"]["model"]
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         if self.kind == "MelGAN":
-            self.params = melgan_init(rng)
+            self.params = melgan_init(rng, n_mels=n_mels)
             self._apply = jax.jit(melgan_apply)
         elif self.kind == "HiFi-GAN":
-            self.params = hifigan_init(rng)
+            self.params = hifigan_init(rng, n_mels=n_mels)
             self._apply = jax.jit(hifigan_apply)
         else:
             raise ValueError(f"unknown vocoder {self.kind!r}")
