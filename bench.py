@@ -93,21 +93,25 @@ def main():
     qry1 = jtree.map(lambda x: x[0], qry)
     vocoder = Vocoder({"vocoder": {"model": "MelGAN"}})
 
-    def episode(params):
-        adapted = system.adaptor.adapt(
-            params, system.state, sup1, steps=100,
-            lr=system.acfg["adapt"]["test"]["lr"],
-            first_order=True, train=False, rng=None)
-        out, _ = system.adaptor.forward(adapted, system.state, qry1,
-                                        train=False, average_spk_emb=True)
-        return out.postnet_mel, out.mel_lens
+    # adaptation in 10-step jitted chunks (small programs compile fast and
+    # the chunk is reused 10x)
+    adapt_chunk = jax.jit(lambda p: system.adaptor.adapt(
+        p, system.state, sup1, steps=10,
+        lr=system.acfg["adapt"]["test"]["lr"],
+        first_order=True, train=False, rng=None))
+    synth = jax.jit(lambda p: system.adaptor.forward(
+        p, system.state, qry1, train=False, average_spk_emb=True)[0])
 
-    epi = jax.jit(episode)
-    mels, mel_lens = epi(system.params)           # compile
-    jax.block_until_ready(mels)
-    wavs = vocoder.infer(mels)                    # compile vocoder
+    params = adapt_chunk(system.params)           # compile chunk
+    out = synth(params)                           # compile synth
+    jax.block_until_ready(out.postnet_mel)
+    wavs = vocoder.infer(out.postnet_mel)         # compile vocoder
     t0 = time.time()
-    mels, mel_lens = epi(system.params)
+    params = system.params
+    for _ in range(10):
+        params = adapt_chunk(params)
+    out = synth(params)
+    mels, mel_lens = out.postnet_mel, out.mel_lens
     wavs = vocoder.infer(mels, lengths=np.asarray(mel_lens) * 256)
     adapt_synth_s = time.time() - t0
     audio_s = float(np.asarray(mel_lens).sum()) * 256 / 22050.0
