@@ -50,7 +50,7 @@ def main(args, configs):
     system, dm = build(configs)
     dm.setup()
     vocoder = None
-    if args.stage == "train" and not args.no_synth:
+    if args.stage in ("train", "test") and not args.no_synth:
         from metatts_tpu.models.vocoder import Vocoder
         vocoder = Vocoder(configs[1], n_mels=configs[0][0][
             "preprocessing"]["mel"]["n_mel_channels"])

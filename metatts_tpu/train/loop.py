@@ -155,13 +155,43 @@ class Trainer:
             if max_tasks and i >= max_tasks:
                 break
             task_id = f"test_{i:03d}"
-            sup_b, qry_b, _, _ = collate_episode([sup], [qry])
-            rows, adapted = self.system.test_adapt(
-                _first_episode(sup_b), _first_episode(qry_b))
+            sup_b, qry_b, _, qry_meta = collate_episode([sup], [qry])
+            sup_e, qry_e = _first_episode(sup_b), _first_episode(qry_b)
+            rows, adapted = self.system.test_adapt(sup_e, qry_e)
             self.saver.log_task_csv("Testing", task_id, rows,
                                     ckpt_step=ckpt_step)
+            if self.vocoder is not None:
+                self._save_test_audio(task_id, adapted, sup_e, qry_e,
+                                      qry_meta[0], ckpt_step)
             results[task_id] = rows
         return results
+
+    def _save_test_audio(self, task_id, adapted_params, sup, qry, qry_meta,
+                         ckpt_step):
+        """Per-task recon + synth wavs after the final adaptation step
+        (reference Saver test tree: ``*.recon.wav`` teacher-forced,
+        ``*.synth.wav`` fully predicted, ``saver.py:130-194``)."""
+        import jax
+        import numpy as np
+        hop = self.system.pcfg["preprocessing"]["stft"]["hop_length"]
+        qry_c = qry._replace(speaker_args=jax.tree.map(
+            lambda x: x, sup.speaker_args)
+            if isinstance(sup.speaker_args, tuple) else
+            sup.speaker_args[:1].repeat(qry.texts.shape[0], axis=0))
+        for tag, teacher in (("recon", True), ("synth", False)):
+            out, _ = self.system.adaptor.forward(
+                adapted_params, self.system.state, qry_c, train=False,
+                teacher_forced=teacher, average_spk_emb=True)
+            mel_lens = np.asarray(out.mel_lens)
+            wavs = self.vocoder.infer(out.postnet_mel,
+                                      lengths=mel_lens * hop)
+            for j, w in enumerate(wavs):
+                if len(w) == 0:
+                    continue
+                name = f"{qry_meta.ids[j]}.{tag}"
+                path = self.saver.save_audio("Testing", task_id, name, w,
+                                             ckpt_step=ckpt_step)
+                self.logger.log_artifact(0, "audio", path)
 
     # --------------------------------------------------- in-loop synthesis
 

@@ -34,4 +34,11 @@ def make_optimizer(model_cfg, train_cfg):
         optax.add_decayed_weights(o.get("weight_decay", 0.0)),
         optax.scale_by_learning_rate(sched),
     )
+    # grad accumulation (reference accumulate_grad_batches, main.py:62):
+    # one optimizer update every grad_acc_step micro-batches — how an
+    # effective meta-batch of 8 runs on fewer chips (second-order episodes
+    # are HBM-bound at ~1/chip on v5e).
+    acc = int(o.get("grad_acc_step", 1) or 1)
+    if acc > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=acc)
     return tx, sched
