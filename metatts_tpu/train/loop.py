@@ -69,6 +69,8 @@ class Trainer:
         else:
             bs = self.tcfg["optimizer"]["batch_size"]
             gen = self.dm.train_batches(bs)
+        from ..data.prefetch import Prefetcher
+        gen = Prefetcher(gen, depth=2)   # hide collation behind device time
 
         try:
             from tqdm import tqdm

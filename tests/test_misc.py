@@ -84,3 +84,22 @@ def test_mos_proxy_orders_tone_above_noise():
         assert False, "mosnet should be unavailable"
     except KeyError:
         pass
+
+
+def test_prefetcher_order_and_errors():
+    from metatts_tpu.data.prefetch import Prefetcher
+
+    pf = Prefetcher(iter(range(5)), depth=2)
+    assert list(pf) == [0, 1, 2, 3, 4]
+
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    pf = Prefetcher(bad())
+    assert next(pf) == 1
+    try:
+        next(pf)
+        assert False
+    except RuntimeError as e:
+        assert "boom" in str(e)
