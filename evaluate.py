@@ -18,7 +18,9 @@ if os.environ.get("METATTS_PLATFORM"):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--real", type=str, required=True,
+    ap.add_argument("--config", type=str, default=None,
+                    help="evaluation matrix YAML (config/evaluation/*.yaml)")
+    ap.add_argument("--real", type=str, default=None,
                     help="dir of <speaker>/<utt>.wav real/enrollment speech")
     ap.add_argument("--result", type=str, default=None,
                     help="Saver result dir with audio/Testing trees")
@@ -27,6 +29,11 @@ def main():
     ap.add_argument("--out", type=str, default="eval_out")
     ap.add_argument("--max-per-speaker", type=int, default=16)
     args = ap.parse_args()
+
+    if args.config:
+        return run_matrix(args)
+    if not args.real:
+        ap.error("either --config or --real is required")
 
     from metatts_tpu.evaluation.harness import EvaluationHarness
     from metatts_tpu.evaluation.similarity import pair_similarity
@@ -63,6 +70,41 @@ def main():
                              f"{np.mean(list(sims.values())):.4f}"))
 
     path = h.write_report(os.path.join(args.out, "eer.txt"), rows)
+    print(f"wrote {path}")
+    for label, value in rows:
+        print(f"  {label}\t{value}")
+
+
+def run_matrix(args):
+    """Mode x step evaluation matrix (reference evaluation/config.py:72-138)."""
+    import yaml
+    import numpy as np
+    from metatts_tpu.evaluation.harness import EvaluationHarness
+    from metatts_tpu.evaluation.similarity import pair_similarity
+    from metatts_tpu.evaluation.verification import speaker_verification_eer
+
+    cfg = yaml.safe_load(open(args.config))
+    out_dir = args.out or f"eval_out/{cfg['corpus']}"
+    h = EvaluationHarness(cache_dir=os.path.join(out_dir, "cache"),
+                          weights_npz=args.dvector_weights)
+    rows = []
+    real = h.embed_speaker_dirs(cfg["real_dir"], "real",
+                                max_per_speaker=cfg.get("n_sample", 16))
+    r = speaker_verification_eer(*pair_similarity(real))
+    rows.append(("real", f"{r['eer']:.4f}"))
+    for mode, result_dir in cfg.get("modes", {}).items():
+        for step in cfg.get("step_list", ["step_last"]):
+            for kind in ("recon", "synth"):
+                groups = h.embed_result_tree(result_dir, kind, step)
+                if not groups:
+                    continue
+                r = speaker_verification_eer(*pair_similarity(groups))
+                rows.append((f"{mode}_{kind}_{step}", f"{r['eer']:.4f}"))
+                sims = h.similarity_to_enrollment(real, groups)
+                if sims:
+                    rows.append((f"{mode}_{kind}_{step}_centroid",
+                                 f"{np.mean(list(sims.values())):.4f}"))
+    path = h.write_report(os.path.join(out_dir, "eer.txt"), rows)
     print(f"wrote {path}")
     for label, value in rows:
         print(f"  {label}\t{value}")

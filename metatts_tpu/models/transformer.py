@@ -47,7 +47,7 @@ def mha_init(rng, d_model, n_head, d_k, d_v):
 
 
 def mha(p, x, key_valid, n_head, *, cdtype, drop_rate, train, rng,
-        attn_impl="einsum"):
+        attn_impl="einsum", scores_dtype=jnp.float32):
     """Self-attention, post-LN residual. key_valid: (B, T) bool.
 
     attn_impl:
@@ -71,10 +71,13 @@ def mha(p, x, key_valid, n_head, *, cdtype, drop_rate, train, rng,
     else:
         scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(cdtype),
                             k.astype(cdtype),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=scores_dtype)
         scores = scores / np.sqrt(d_k)
-        scores = jnp.where(key_valid[:, None, None, :], scores, -1e9)
-        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        scores = jnp.where(key_valid[:, None, None, :], scores,
+                           jnp.asarray(-1e9, scores_dtype))
+        # softmax max-subtraction keeps bf16 scores numerically safe; the
+        # (B,h,T,T) residuals halve when scores_dtype is bfloat16
+        attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(cdtype),
                          v.astype(cdtype),
                          preferred_element_type=jnp.float32)
@@ -111,11 +114,11 @@ def fft_block_init(rng, d_model, n_head, d_k, d_v, d_inner, kernel_sizes):
 
 
 def fft_block(p, x, valid, n_head, *, cdtype, drop_rate, train, rng,
-              attn_impl="einsum"):
+              attn_impl="einsum", scores_dtype=jnp.float32):
     r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
     x = mha(p["attn"], x, valid, n_head,
             cdtype=cdtype, drop_rate=drop_rate, train=train, rng=r1,
-            attn_impl=attn_impl)
+            attn_impl=attn_impl, scores_dtype=scores_dtype)
     x = jnp.where(valid[..., None], x, 0.0)
     x = ffn(p["ffn"], x, cdtype=cdtype, drop_rate=drop_rate, train=train, rng=r2)
     return jnp.where(valid[..., None], x, 0.0)
@@ -146,7 +149,9 @@ def encoder_apply(p, texts, src_valid, cfg, *, train, rng, pos_table):
     L = texts.shape[1]
     x = nn.embedding(p["src_word_emb"], texts) + pos_table[None, :L]
     blk = _make_block(t["encoder_head"], cdtype, t["encoder_dropout"], train,
-                      cfg.get("remat", False), resolve_attn_impl(cfg))
+                      cfg.get("remat", False), resolve_attn_impl(cfg),
+                      jnp.dtype(cfg.get("attention_scores_dtype",
+                                        "float32")))
     for i, lp in enumerate(p["layers"]):
         lrng = jax.random.fold_in(rng, i) if rng is not None else None
         x = blk(lp, x, src_valid, lrng)
@@ -164,11 +169,12 @@ def resolve_attn_impl(cfg):
     return impl
 
 
-def _make_block(n_head, cdtype, drop_rate, train, remat, attn_impl):
+def _make_block(n_head, cdtype, drop_rate, train, remat, attn_impl,
+                scores_dtype=jnp.float32):
     def run(lp, x, valid, lrng):
         return fft_block(lp, x, valid, n_head, cdtype=cdtype,
                          drop_rate=drop_rate, train=train, rng=lrng,
-                         attn_impl=attn_impl)
+                         attn_impl=attn_impl, scores_dtype=scores_dtype)
     return jax.checkpoint(run) if remat else run
 
 
@@ -194,7 +200,9 @@ def decoder_apply(p, x, mel_valid, cfg, *, train, rng, pos_table):
     T = x.shape[1]
     x = x + pos_table[None, :T]
     blk = _make_block(t["decoder_head"], cdtype, t["decoder_dropout"], train,
-                      cfg.get("remat", False), resolve_attn_impl(cfg))
+                      cfg.get("remat", False), resolve_attn_impl(cfg),
+                      jnp.dtype(cfg.get("attention_scores_dtype",
+                                        "float32")))
     for i, lp in enumerate(p["layers"]):
         lrng = jax.random.fold_in(rng, i) if rng is not None else None
         x = blk(lp, x, mel_valid, lrng)

@@ -111,6 +111,8 @@ def _fwd_call(q, k, v, mask, scale, tq, interpret):
             jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
             jax.ShapeDtypeStruct((BH, 1, T), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(q, k, v, mask)
     return o, lse
@@ -143,6 +145,8 @@ def _bwd_call(q, k, v, mask, o, lse, do, scale, tq, interpret):
             jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
             jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(q, k, v, mask, o, lse, do)
     return dq, dk, dv
