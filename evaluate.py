@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--dvector-weights", type=str, default=None)
     ap.add_argument("--out", type=str, default="eval_out")
     ap.add_argument("--max-per-speaker", type=int, default=16)
+    ap.add_argument("--mos", action="store_true",
+                    help="also score wavs with available pseudo-MOS scorers "
+                         "(reference compute_mos.py; MOSNet needs external "
+                         "weights, a spectral proxy always exists)")
     args = ap.parse_args()
 
     if args.config:
@@ -69,10 +73,51 @@ def main():
                 rows.append((f"{kind}_{args.step}_centroid_sim",
                              f"{np.mean(list(sims.values())):.4f}"))
 
+    if args.mos:
+        rows += mos_rows(args.real, args.result, args.step,
+                         args.max_per_speaker)
+
     path = h.write_report(os.path.join(args.out, "eer.txt"), rows)
     print(f"wrote {path}")
     for label, value in rows:
         print(f"  {label}\t{value}")
+
+
+def mos_rows(real_dir, result_dir, step, max_per_speaker):
+    """Pseudo-MOS over real + synthesized wavs (reference
+    evaluation/compute_mos.py:25,52)."""
+    import numpy as np
+    from metatts_tpu.evaluation.mos import (available_scorers, score,
+                                            try_register_mosnet)
+    from metatts_tpu.preprocess.audio_io import load_wav
+    try_register_mosnet()
+    rows = []
+
+    def score_files(files, tag):
+        for name in available_scorers():
+            vals = []
+            for f in files[:max_per_speaker]:
+                wav, sr = load_wav(f)
+                vals.append(score(name, wav, sr))
+            if vals:
+                rows.append((f"mos_{name}_{tag}",
+                             f"{np.mean(vals):.3f}"))
+
+    real_files = []
+    for spk in sorted(os.listdir(real_dir)):
+        d = os.path.join(real_dir, spk)
+        if os.path.isdir(d):
+            real_files += [os.path.join(d, f) for f in sorted(os.listdir(d))
+                           if f.endswith(".wav")]
+    score_files(real_files, "real")
+    if result_dir:
+        import glob
+        for kind in ("recon", "synth"):
+            files = sorted(glob.glob(os.path.join(
+                result_dir, "audio", "Testing", step, "*",
+                f"*.{kind}.wav")))
+            score_files(files, kind)
+    return rows
 
 
 def run_matrix(args):

@@ -85,7 +85,6 @@ def main(args, configs):
 def predict(args, configs, system):
     """Text-only synthesis through the vocoder."""
     import numpy as np
-    import jax.numpy as jnp
     from metatts_tpu.data import TextDataset
     from metatts_tpu.data.collate import collate_batch
     from metatts_tpu.models.vocoder import Vocoder

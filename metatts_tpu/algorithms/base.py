@@ -6,10 +6,8 @@ Functional analogue of the reference's LightningModule ``System``
 in jitted pure functions, cached per input-shape bucket.
 """
 
-import functools
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..algorithms.adapt import Adaptor

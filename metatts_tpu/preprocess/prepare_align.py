@@ -11,7 +11,6 @@ import os
 
 import numpy as np
 
-from ..text.cleaners import english_cleaners
 from .audio_io import load_wav, save_wav
 
 SUBSET_GROUPS = {

@@ -13,13 +13,11 @@ adapted params (the reference's -s test flow, packaged for deployment).
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from .algorithms.adapt import Adaptor
 from .data.collate import collate_batch
 from .models.vocoder import Vocoder
 from .text import text_to_sequence
-from .utils.tools import bucket_length
 
 
 class SynthesisEngine:
