@@ -122,3 +122,13 @@ def collate_episode(sup_samples_list, qry_samples_list, max_seq_len=1000):
     sup, sup_meta = stack(sup_samples_list)
     qry, qry_meta = stack(qry_samples_list)
     return sup, qry, sup_meta, qry_meta
+
+
+def split_batch(batch, indices):
+    """Re-slice a collated Batch by sample indices (reference
+    ``split_reprocess``, ``lightning/collate.py:63-126``) — used for
+    inner-loop minibatching over a support set."""
+    import jax
+
+    idx = jnp.asarray(indices)
+    return jax.tree.map(lambda x: x[idx], batch)

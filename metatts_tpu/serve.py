@@ -13,6 +13,7 @@ adapted params (the reference's -s test flow, packaged for deployment).
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from .algorithms.adapt import Adaptor
 from .data.collate import collate_batch
@@ -41,10 +42,14 @@ class SynthesisEngine:
     def _synth_fn(self, text_bucket, mel_cap):
         key = (text_bucket, mel_cap)
         if key not in self._compiled:
-            def fn(params, state, batch):
-                out, _ = self.adaptor.forward(
-                    params, state, batch, train=False, teacher_forced=False,
-                    max_mel_len=mel_cap)
+            # controls are traced scalars so one program serves any value
+            def fn(params, state, batch, p_control, e_control, d_control):
+                from .models.fastspeech2 import fastspeech2_apply
+                out, _ = fastspeech2_apply(
+                    params, state, batch, self.mcfg, self.pcfg, self.acfg,
+                    train=False, teacher_forced=False, max_mel_len=mel_cap,
+                    p_control=p_control, e_control=e_control,
+                    d_control=d_control)
                 return out.postnet_mel, out.mel_lens
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
@@ -66,7 +71,9 @@ class SynthesisEngine:
             })
         batch, meta = collate_batch(samples, with_mels=False)
         fn = self._synth_fn(int(batch.texts.shape[1]), mel_cap)
-        mels, mel_lens = fn(self.params, self.state, batch)
+        mels, mel_lens = fn(self.params, self.state, batch,
+                            jnp.float32(p_control), jnp.float32(e_control),
+                            jnp.float32(d_control))
         mel_lens = np.asarray(mel_lens)
         wavs = self.vocoder.infer(mels, lengths=mel_lens * self.hop)
         out = []

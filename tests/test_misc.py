@@ -103,3 +103,15 @@ def test_prefetcher_order_and_errors():
         assert False
     except RuntimeError as e:
         assert "boom" in str(e)
+
+
+def test_split_batch():
+    import jax.numpy as jnp
+    from metatts_tpu.data.collate import split_batch
+    from metatts_tpu.models.fastspeech2 import Batch
+    b = Batch(speaker_args=jnp.arange(4),
+              texts=jnp.arange(12).reshape(4, 3),
+              src_lens=jnp.full((4,), 3))
+    s = split_batch(b, [2, 0])
+    assert s.texts.shape == (2, 3)
+    assert int(s.speaker_args[0]) == 2 and int(s.speaker_args[1]) == 0
