@@ -82,8 +82,9 @@ class Adaptor:
         # second-order inner loops are differentiated twice; the flash
         # attention kernel (custom_vjp) only supports one differentiation,
         # so force the einsum implementation there
+        inner_impl = self.mcfg.get("inner_attention_impl", "einsum_remat")
         inner_mcfg = self.mcfg if first_order else \
-            {**self.mcfg, "attention_impl": "einsum"}
+            {**self.mcfg, "attention_impl": inner_impl}
         grad_fn = jax.grad(self._support_loss)
 
         def step(carry, step_rng):

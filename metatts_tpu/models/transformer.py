@@ -69,18 +69,26 @@ def mha(p, x, key_valid, n_head, *, cdtype, drop_rate, train, rng,
         o = flash_attention(fold(q), fold(k), fold(v), mask)
         out = o.reshape(B, n_head, T, d_k).transpose(0, 2, 1, 3)
     else:
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(cdtype),
-                            k.astype(cdtype),
-                            preferred_element_type=scores_dtype)
-        scores = scores / np.sqrt(d_k)
-        scores = jnp.where(key_valid[:, None, None, :], scores,
-                           jnp.asarray(-1e9, scores_dtype))
-        # softmax max-subtraction keeps bf16 scores numerically safe; the
-        # (B,h,T,T) residuals halve when scores_dtype is bfloat16
-        attn = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(cdtype),
-                         v.astype(cdtype),
-                         preferred_element_type=jnp.float32)
+        def attn_core(q_, k_, v_, valid_):
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q_.astype(cdtype),
+                                k_.astype(cdtype),
+                                preferred_element_type=scores_dtype)
+            scores = scores / np.sqrt(d_k)
+            scores = jnp.where(valid_[:, None, None, :], scores,
+                               jnp.asarray(-1e9, scores_dtype))
+            # softmax max-subtraction keeps bf16 scores numerically safe;
+            # the (B,h,T,T) residuals halve when scores_dtype is bfloat16
+            attn = jax.nn.softmax(scores, axis=-1)
+            return jnp.einsum("bhqk,bkhd->bqhd", attn.astype(cdtype),
+                              v.astype(cdtype),
+                              preferred_element_type=jnp.float32)
+
+        if attn_impl == "einsum_remat":
+            # save only q/k/v (B,T,h,d); recompute the (B,h,T,T) scores in
+            # every backward pass — bounds second-order residual memory
+            attn_core = jax.checkpoint(
+                attn_core, policy=jax.checkpoint_policies.nothing_saveable)
+        out = attn_core(q, k, v, key_valid)
     out = nn.linear(p["fc"], out.reshape(B, T, n_head * d_k), cdtype)
     out = nn.dropout(rng, out, drop_rate, train)
     return nn.layer_norm(p["ln"], out + x)
