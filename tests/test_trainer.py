@@ -1,0 +1,99 @@
+"""Trainer loop integration at tiny scale with a stub datamodule —
+regression net for fit/validate/test orchestration (the CLI drives cover
+behavior; this covers the loop without the CLI)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from metatts_tpu.algorithms import get_system
+from metatts_tpu.train.loop import Trainer
+from helpers import (tiny_model_cfg, tiny_preprocess_cfg, tiny_train_cfg,
+                     algorithm_cfg, synth_batch, STATS)
+
+
+class StubMetaDM:
+    """Minimal datamodule: synthetic episodes, two frozen val/test tasks."""
+
+    def __init__(self, rng=None):
+        self.rng = rng or np.random.RandomState(0)
+
+    def _episode_samples(self, n):
+        out = []
+        for i in range(n):
+            d = self.rng.randint(1, 4, size=(10,)).astype(np.int32)
+            T = int(d.sum())
+            out.append({
+                "id": f"u{i}",
+                "speaker": int(self.rng.randint(0, 4)),
+                "text": self.rng.randint(1, 360, size=(10,)).astype(np.int32),
+                "raw_text": "stub",
+                "mel": self.rng.randn(T, 8).astype(np.float32),
+                "pitch": self.rng.randn(10).astype(np.float32),
+                "energy": self.rng.randn(10).astype(np.float32),
+                "duration": d,
+            })
+        return out
+
+    def train_episode_batches(self, meta_batch_size):
+        from metatts_tpu.data.collate import collate_episode
+        while True:
+            sups = [self._episode_samples(2) for _ in range(meta_batch_size)]
+            qrys = [self._episode_samples(2) for _ in range(meta_batch_size)]
+            yield collate_episode(sups, qrys, max_seq_len=64)
+
+    def val_episodes(self):
+        for _ in range(2):
+            yield {"label": "stub"}, (self._episode_samples(2),
+                                      self._episode_samples(2))
+
+    def test_episodes(self):
+        yield from self.val_episodes()
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    tcfg = tiny_train_cfg()
+    tcfg["step"].update(total_step=4, log_step=2, val_step=4, save_step=4,
+                        synth_step=10 ** 9)
+    system = get_system("meta")(tiny_preprocess_cfg(), tiny_model_cfg(),
+                                tcfg, algorithm_cfg("meta"), stats=STATS,
+                                n_speakers=4)
+    out = str(tmp_path_factory.mktemp("trainer_out"))
+    return Trainer(system, StubMetaDM(), tcfg, output_dir=out,
+                   exp_name="stub"), out
+
+
+def test_fit_trains_logs_checkpoints(trainer):
+    tr, out = trainer
+    tr.fit(max_steps=4)
+    assert tr.system.global_step == 4
+    assert os.path.exists(os.path.join(out, "ckpt", "stub", "last.ckpt"))
+    train_csv = os.path.join(out, "log", "stub", "train.csv")
+    assert os.path.exists(train_csv)
+    events = os.path.join(out, "log", "stub", "events.jsonl")
+    assert os.path.getsize(events) > 0
+    # validation CSVs were written at val_step
+    val_dir = os.path.join(out, "result", "stub", "csv", "Validation",
+                           "step_last")
+    assert len(os.listdir(val_dir)) == 2
+
+
+def test_test_stage_writes_task_csvs(trainer):
+    tr, out = trainer
+    results = tr.test(max_tasks=1)
+    assert "test_000" in results
+    steps = [s for s, _ in results["test_000"]]
+    assert steps[0] == 0 and steps[-1] <= 10
+    csv_dir = os.path.join(out, "result", "stub", "csv", "Testing",
+                           "step_last")
+    assert os.path.exists(os.path.join(csv_dir, "test_000.csv"))
+
+
+def test_fit_resume_roundtrip(trainer):
+    tr, out = trainer
+    ckpt = os.path.join(out, "ckpt", "stub", "last.ckpt")
+    tr.system.global_step = 0
+    tr.fit(resume_from=ckpt, max_steps=6)
+    assert tr.system.global_step == 6
