@@ -1,0 +1,217 @@
+"""Full-model forward parity: our JAX FastSpeech2 vs a torch oracle that
+re-states the reference forward math (``lightning/model/fastspeech2.py``,
+``transformer/*``, ``lightning/model/modules.py``), with IDENTICAL weights
+transferred through tools/load_reference_fs2's mapping.
+
+This is the BASELINE.json fidelity criterion (mel L1 divergence <= 1e-3)
+demonstrated at the model level with random weights — once real reference
+checkpoints are converted, the same path gives published-weight parity.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import jax
+from load_reference_fs2 import export_reference_shaped_npz
+from metatts_tpu.models.fastspeech2 import fastspeech2_init, fastspeech2_apply
+from helpers import (tiny_model_cfg, tiny_preprocess_cfg, algorithm_cfg,
+                     synth_batch, STATS)
+
+
+# ----------------------------------------------------------- torch oracle
+
+def _sinusoid(n_pos, d):
+    pos = np.arange(n_pos)[:, None]
+    dim = np.arange(d)[None, :]
+    ang = pos / np.power(10000, 2 * (dim // 2) / d)
+    t = np.zeros((n_pos, d), np.float32)
+    t[:, 0::2] = np.sin(ang[:, 0::2])
+    t[:, 1::2] = np.cos(ang[:, 1::2])
+    return torch.tensor(t)
+
+
+class _OracleMHA(torch.nn.Module):
+    def __init__(self, d, h, sd, pre):
+        super().__init__()
+        self.h, self.dk = h, d // h
+        g = lambda k: torch.tensor(sd[f"{pre}.{k}"])
+        self.wq, self.bq = g("w_qs.weight"), g("w_qs.bias")
+        self.wk, self.bk = g("w_ks.weight"), g("w_ks.bias")
+        self.wv, self.bv = g("w_vs.weight"), g("w_vs.bias")
+        self.wo, self.bo = g("fc.weight"), g("fc.bias")
+        self.lnw, self.lnb = g("layer_norm.weight"), g("layer_norm.bias")
+
+    def forward(self, x, pad_mask):
+        B, T, D = x.shape
+        q = (x @ self.wq.T + self.bq).view(B, T, self.h, self.dk)
+        k = (x @ self.wk.T + self.bk).view(B, T, self.h, self.dk)
+        v = (x @ self.wv.T + self.bv).view(B, T, self.h, self.dk)
+        s = torch.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(self.dk)
+        s = s.masked_fill(pad_mask[:, None, None, :], -1e9)
+        a = torch.softmax(s, dim=-1)
+        o = torch.einsum("bhqk,bkhd->bqhd", a, v).reshape(B, T, D)
+        o = o @ self.wo.T + self.bo
+        return torch.nn.functional.layer_norm(
+            o + x, (D,), self.lnw, self.lnb)
+
+
+class _OracleFFN(torch.nn.Module):
+    def __init__(self, sd, pre):
+        super().__init__()
+        g = lambda k: torch.tensor(sd[f"{pre}.{k}"])
+        self.w1, self.b1 = g("w_1.weight"), g("w_1.bias")
+        self.w2, self.b2 = g("w_2.weight"), g("w_2.bias")
+        self.lnw, self.lnb = g("layer_norm.weight"), g("layer_norm.bias")
+
+    def forward(self, x):
+        h = x.transpose(1, 2)
+        h = torch.nn.functional.conv1d(
+            h, self.w1, self.b1, padding=(self.w1.shape[-1] - 1) // 2)
+        h = torch.relu(h)
+        h = torch.nn.functional.conv1d(
+            h, self.w2, self.b2, padding=(self.w2.shape[-1] - 1) // 2)
+        h = h.transpose(1, 2)
+        return torch.nn.functional.layer_norm(
+            h + x, (x.shape[-1],), self.lnw, self.lnb)
+
+
+def _vp(sd, pre, x, pad_mask):
+    """Variance predictor: 2x(conv->relu->LN)->linear, zero at pads."""
+    g = lambda k: torch.tensor(sd[f"{pre}.{k}"])
+    h = x.transpose(1, 2)
+    w = g("conv_layer.conv1d_1.conv.weight")
+    h = torch.nn.functional.conv1d(h, w, g("conv_layer.conv1d_1.conv.bias"),
+                                   padding=(w.shape[-1] - 1) // 2)
+    h = torch.relu(h).transpose(1, 2)
+    h = torch.nn.functional.layer_norm(
+        h, (h.shape[-1],), g("conv_layer.layer_norm_1.weight"),
+        g("conv_layer.layer_norm_1.bias"))
+    h2 = h.transpose(1, 2)
+    w2 = g("conv_layer.conv1d_2.conv.weight")
+    h2 = torch.nn.functional.conv1d(h2, w2,
+                                    g("conv_layer.conv1d_2.conv.bias"),
+                                    padding=(w2.shape[-1] - 1) // 2)
+    h2 = torch.relu(h2).transpose(1, 2)
+    h2 = torch.nn.functional.layer_norm(
+        h2, (h2.shape[-1],), g("conv_layer.layer_norm_2.weight"),
+        g("conv_layer.layer_norm_2.bias"))
+    out = (h2 @ g("linear_layer.weight").T
+           + g("linear_layer.bias")).squeeze(-1)
+    return out.masked_fill(pad_mask, 0.0)
+
+
+def oracle_forward(sd, mcfg, batch, n_mels):
+    """Teacher-forced reference forward (eval mode, BN running stats)."""
+    t = mcfg["transformer"]
+    d = t["encoder_hidden"]
+    texts = torch.tensor(np.asarray(batch.texts).astype(np.int64))
+    B, L = texts.shape
+    src_pad = torch.arange(L)[None, :] >= torch.tensor(
+        np.asarray(batch.src_lens))[:, None]
+    pe = _sinusoid(mcfg["max_seq_len"] + 1, d)
+
+    x = torch.tensor(sd["encoder.src_word_emb.weight"])[texts] + pe[:L][None]
+    for i in range(t["encoder_layer"]):
+        x = _OracleMHA(d, t["encoder_head"], sd,
+                       f"encoder.layer_stack.{i}.slf_attn")(x, src_pad)
+        x = x.masked_fill(src_pad[..., None], 0.0)
+        x = _OracleFFN(sd, f"encoder.layer_stack.{i}.pos_ffn")(x)
+        x = x.masked_fill(src_pad[..., None], 0.0)
+
+    spk = torch.tensor(sd["speaker_emb.model.weight"])[
+        torch.tensor(np.asarray(batch.speaker_args).astype(np.int64))]
+    x = x + spk[:, None, :]
+
+    # variance adaptor (teacher-forced)
+    d_tgt = torch.tensor(np.asarray(batch.d_targets).astype(np.int64))
+    p_tgt = torch.tensor(np.asarray(batch.p_targets))
+    e_tgt = torch.tensor(np.asarray(batch.e_targets))
+    _ = _vp(sd, "variance_adaptor.duration_predictor", x, src_pad)
+    p_bins = torch.tensor(sd["variance_adaptor.pitch_bins"])
+    p_emb = torch.tensor(sd["variance_adaptor.pitch_embedding.weight"])[
+        torch.bucketize(p_tgt, p_bins)]
+    x = x + p_emb
+    e_bins = torch.tensor(sd["variance_adaptor.energy_bins"])
+    e_emb = torch.tensor(sd["variance_adaptor.energy_embedding.weight"])[
+        torch.bucketize(e_tgt, e_bins)]
+    x = x + e_emb
+
+    # length regulate (reference ragged loop + pad to batch T)
+    T = np.asarray(batch.mels).shape[1]
+    out = torch.zeros(B, T, d)
+    for b in range(B):
+        rows = []
+        for l in range(L):
+            rows += [x[b, l]] * int(d_tgt[b, l])
+        if rows:
+            rows = torch.stack(rows)[:T]
+            out[b, : rows.shape[0]] = rows
+    mel_lens = torch.tensor(np.asarray(batch.mel_lens).astype(np.int64))
+    mel_pad = torch.arange(T)[None, :] >= mel_lens[:, None]
+
+    out = out + spk[:, None, :]
+
+    out = out + pe[:T][None]   # decoder PE added once before the stack
+    for i in range(t["decoder_layer"]):
+        out = _OracleMHA(d, t["decoder_head"], sd,
+                         f"decoder.layer_stack.{i}.slf_attn")(out, mel_pad)
+        out = out.masked_fill(mel_pad[..., None], 0.0)
+        out = _OracleFFN(sd, f"decoder.layer_stack.{i}.pos_ffn")(out)
+        out = out.masked_fill(mel_pad[..., None], 0.0)
+
+    mel = out @ torch.tensor(sd["mel_linear.weight"]).T + \
+        torch.tensor(sd["mel_linear.bias"])
+
+    # postnet (BN eval: running stats)
+    h = mel.transpose(1, 2)
+    n_convs = 5
+    for i in range(n_convs):
+        w = torch.tensor(sd[f"postnet.convolutions.{i}.0.conv.weight"])
+        b = torch.tensor(sd[f"postnet.convolutions.{i}.0.conv.bias"])
+        h = torch.nn.functional.conv1d(h, w, b,
+                                       padding=(w.shape[-1] - 1) // 2)
+        h = torch.nn.functional.batch_norm(
+            h, torch.tensor(sd[f"postnet.convolutions.{i}.1.running_mean"]),
+            torch.tensor(sd[f"postnet.convolutions.{i}.1.running_var"]),
+            torch.tensor(sd[f"postnet.convolutions.{i}.1.weight"]),
+            torch.tensor(sd[f"postnet.convolutions.{i}.1.bias"]),
+            training=False)
+        if i < n_convs - 1:
+            h = torch.tanh(h)
+    postnet_mel = mel + h.transpose(1, 2)
+    return mel.numpy(), postnet_mel.numpy(), mel_pad.numpy()
+
+
+def test_full_forward_parity_same_weights(tmp_path):
+    mcfg = tiny_model_cfg()
+    mcfg["attention_impl"] = "einsum"
+    # positional table note: the oracle adds decoder PE per layer? reference
+    # adds once before the stack — match that in both (see oracle_forward).
+    pcfg = tiny_preprocess_cfg()
+    acfg = algorithm_cfg("meta")
+    params, state = fastspeech2_init(jax.random.PRNGKey(0), pcfg, mcfg,
+                                     acfg, STATS, n_speakers=4)
+    npz = str(tmp_path / "w.npz")
+    export_reference_shaped_npz(params, state, npz)
+    sd = dict(np.load(npz))
+
+    batch = synth_batch(np.random.RandomState(0), B=2)
+    ours, _ = fastspeech2_apply(params, state, batch, mcfg, pcfg, acfg,
+                                train=False)
+    mel_t, post_t, mel_pad = oracle_forward(sd, mcfg, batch,
+                                            pcfg["preprocessing"]["mel"][
+                                                "n_mel_channels"])
+    valid = ~mel_pad
+    ours_mel = np.asarray(ours.mel)
+    ours_post = np.asarray(ours.postnet_mel)
+    l1_mel = np.abs(ours_mel - mel_t)[valid].mean()
+    l1_post = np.abs(ours_post - post_t)[valid].mean()
+    assert l1_mel < 1e-3, f"pre-postnet mel L1 {l1_mel}"
+    assert l1_post < 1e-3, f"postnet mel L1 {l1_post}"
