@@ -215,3 +215,156 @@ def test_full_forward_parity_same_weights(tmp_path):
     l1_post = np.abs(ours_post - post_t)[valid].mean()
     assert l1_mel < 1e-3, f"pre-postnet mel L1 {l1_mel}"
     assert l1_post < 1e-3, f"postnet mel L1 {l1_post}"
+
+
+def test_gradient_parity_same_weights(tmp_path):
+    """Backward parity: d(masked mel L1 loss)/d(weights) matches torch
+    autograd through the oracle — validates that our training gradients
+    (the inner/outer loop currency) equal the reference's."""
+    mcfg = tiny_model_cfg()
+    mcfg["attention_impl"] = "einsum"
+    pcfg = tiny_preprocess_cfg()
+    acfg = algorithm_cfg("meta")
+    params, state = fastspeech2_init(jax.random.PRNGKey(0), pcfg, mcfg,
+                                     acfg, STATS, n_speakers=4)
+    npz = str(tmp_path / "w.npz")
+    export_reference_shaped_npz(params, state, npz)
+    sd_np = dict(np.load(npz))
+    batch = synth_batch(np.random.RandomState(0), B=2)
+
+    # ---- torch side: leaf tensors with grads
+    sd = {k: torch.tensor(v, requires_grad=True) for k, v in sd_np.items()}
+    mel_t, post_t, mel_pad = oracle_forward_t(sd, mcfg, batch)
+    tgt = torch.tensor(np.asarray(batch.mels))
+    valid = torch.tensor(~mel_pad)[..., None]
+    loss_t = ((post_t - tgt).abs() * valid).sum() / valid.sum() / tgt.shape[-1]
+    loss_t.backward()
+
+    # ---- jax side: same masked L1 on postnet mel
+    def loss_fn(p):
+        out, _ = fastspeech2_apply(p, state, batch, mcfg, pcfg, acfg,
+                                   train=False)
+        m = out.mel_valid[..., None]
+        err = jnp_abs(out.postnet_mel - batch.mels) * m
+        return err.sum() / m.sum() / out.postnet_mel.shape[-1]
+
+    import jax.numpy as jnp
+    jnp_abs = jnp.abs
+    g = jax.grad(loss_fn)(params)
+
+    np.testing.assert_allclose(float(loss_fn(params)), float(loss_t),
+                               rtol=1e-4)
+
+    checks = [
+        ("mel_linear.weight", g["mel_linear"]["w"], True),
+        ("encoder.src_word_emb.weight",
+         g["encoder"]["src_word_emb"]["table"], False),
+        ("variance_adaptor.pitch_embedding.weight",
+         g["variance_adaptor"]["pitch_embedding"]["table"], False),
+        ("postnet.convolutions.0.0.conv.weight",
+         g["postnet"]["convs"][0]["conv"]["w"], False),
+        ("speaker_emb.model.weight", g["speaker_emb"]["table"], False),
+        ("decoder.layer_stack.0.slf_attn.w_qs.weight",
+         g["decoder"]["layers"][0]["attn"]["w_q"]["w"], True),
+    ]
+    for name, ours, transpose in checks:
+        theirs = sd[name].grad.numpy()
+        o = np.asarray(ours).T if transpose else np.asarray(ours)
+        np.testing.assert_allclose(
+            o, theirs, atol=5e-6, rtol=1e-3, err_msg=name)
+
+
+def oracle_forward_t(sd, mcfg, batch):
+    """Torch-tensor version of oracle_forward (keeps the autograd graph)."""
+    t = mcfg["transformer"]
+    d = t["encoder_hidden"]
+    texts = torch.tensor(np.asarray(batch.texts).astype(np.int64))
+    B, L = texts.shape
+    src_pad = torch.arange(L)[None, :] >= torch.tensor(
+        np.asarray(batch.src_lens))[:, None]
+    pe = _sinusoid(mcfg["max_seq_len"] + 1, d)
+
+    def mha(x, pad, pre, h):
+        dk = d // h
+        gq = lambda k: sd[f"{pre}.{k}"]
+        B_, T_, _ = x.shape
+        q = (x @ gq("w_qs.weight").T + gq("w_qs.bias")).view(B_, T_, h, dk)
+        k = (x @ gq("w_ks.weight").T + gq("w_ks.bias")).view(B_, T_, h, dk)
+        v = (x @ gq("w_vs.weight").T + gq("w_vs.bias")).view(B_, T_, h, dk)
+        s = torch.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dk)
+        s = s.masked_fill(pad[:, None, None, :], -1e9)
+        o = torch.einsum("bhqk,bkhd->bqhd", torch.softmax(s, -1), v)
+        o = o.reshape(B_, T_, d) @ gq("fc.weight").T + gq("fc.bias")
+        return torch.nn.functional.layer_norm(
+            o + x, (d,), gq("layer_norm.weight"), gq("layer_norm.bias"))
+
+    def ffn(x, pre):
+        g = lambda k: sd[f"{pre}.{k}"]
+        h = x.transpose(1, 2)
+        w1 = g("w_1.weight")
+        h = torch.nn.functional.conv1d(h, w1, g("w_1.bias"),
+                                       padding=(w1.shape[-1] - 1) // 2)
+        h = torch.relu(h)
+        w2 = g("w_2.weight")
+        h = torch.nn.functional.conv1d(h, w2, g("w_2.bias"),
+                                       padding=(w2.shape[-1] - 1) // 2)
+        h = h.transpose(1, 2)
+        return torch.nn.functional.layer_norm(
+            h + x, (d,), g("layer_norm.weight"), g("layer_norm.bias"))
+
+    x = sd["encoder.src_word_emb.weight"][texts] + pe[:L][None]
+    for i in range(t["encoder_layer"]):
+        x = mha(x, src_pad, f"encoder.layer_stack.{i}.slf_attn",
+                t["encoder_head"])
+        x = x.masked_fill(src_pad[..., None], 0.0)
+        x = ffn(x, f"encoder.layer_stack.{i}.pos_ffn")
+        x = x.masked_fill(src_pad[..., None], 0.0)
+
+    spk = sd["speaker_emb.model.weight"][
+        torch.tensor(np.asarray(batch.speaker_args).astype(np.int64))]
+    x = x + spk[:, None, :]
+
+    p_tgt = torch.tensor(np.asarray(batch.p_targets))
+    e_tgt = torch.tensor(np.asarray(batch.e_targets))
+    d_tgt = torch.tensor(np.asarray(batch.d_targets).astype(np.int64))
+    x = x + sd["variance_adaptor.pitch_embedding.weight"][
+        torch.bucketize(p_tgt, sd["variance_adaptor.pitch_bins"].detach())]
+    x = x + sd["variance_adaptor.energy_embedding.weight"][
+        torch.bucketize(e_tgt, sd["variance_adaptor.energy_bins"].detach())]
+
+    T = np.asarray(batch.mels).shape[1]
+    outs = []
+    for b in range(B):
+        rows = [x[b, l:l + 1].expand(int(d_tgt[b, l]), -1)
+                for l in range(L) if int(d_tgt[b, l]) > 0]
+        r = torch.cat(rows)[:T] if rows else x.new_zeros((0, d))
+        pad_rows = x.new_zeros((T - r.shape[0], d))
+        outs.append(torch.cat([r, pad_rows]))
+    out = torch.stack(outs)
+    mel_lens = torch.tensor(np.asarray(batch.mel_lens).astype(np.int64))
+    mel_pad = torch.arange(T)[None, :] >= mel_lens[:, None]
+
+    out = out + spk[:, None, :]
+    out = out + pe[:T][None]
+    for i in range(t["decoder_layer"]):
+        out = mha(out, mel_pad, f"decoder.layer_stack.{i}.slf_attn",
+                  t["decoder_head"])
+        out = out.masked_fill(mel_pad[..., None], 0.0)
+        out = ffn(out, f"decoder.layer_stack.{i}.pos_ffn")
+        out = out.masked_fill(mel_pad[..., None], 0.0)
+
+    mel = out @ sd["mel_linear.weight"].T + sd["mel_linear.bias"]
+    h = mel.transpose(1, 2)
+    for i in range(5):
+        w = sd[f"postnet.convolutions.{i}.0.conv.weight"]
+        h = torch.nn.functional.conv1d(
+            h, w, sd[f"postnet.convolutions.{i}.0.conv.bias"],
+            padding=(w.shape[-1] - 1) // 2)
+        h = torch.nn.functional.batch_norm(
+            h, sd[f"postnet.convolutions.{i}.1.running_mean"].detach(),
+            sd[f"postnet.convolutions.{i}.1.running_var"].detach(),
+            sd[f"postnet.convolutions.{i}.1.weight"],
+            sd[f"postnet.convolutions.{i}.1.bias"], training=False)
+        if i < 4:
+            h = torch.tanh(h)
+    return mel, mel + h.transpose(1, 2), mel_pad.numpy()
