@@ -368,3 +368,69 @@ def oracle_forward_t(sd, mcfg, batch):
         if i < 4:
             h = torch.tanh(h)
     return mel, mel + h.transpose(1, 2), mel_pad.numpy()
+
+
+def test_inner_sgd_step_parity(tmp_path):
+    """One MAML inner step: torch manual SGD on the adapted modules vs
+    Adaptor.adapt(steps=1) — adapted-model OUTPUTS must match, proving the
+    inner-loop semantics (module subset, plain SGD, lr) equal the
+    reference's (base_adaptor.py:98-112)."""
+    import jax.numpy as jnp
+    from metatts_tpu.algorithms.adapt import Adaptor
+
+    mcfg = tiny_model_cfg()
+    mcfg["attention_impl"] = "einsum"
+    pcfg = tiny_preprocess_cfg()
+    acfg = algorithm_cfg("meta")
+    lr = 0.01
+    params, state = fastspeech2_init(jax.random.PRNGKey(0), pcfg, mcfg,
+                                     acfg, STATS, n_speakers=4)
+    npz = str(tmp_path / "w.npz")
+    export_reference_shaped_npz(params, state, npz)
+    sd_np = dict(np.load(npz))
+    sup = synth_batch(np.random.RandomState(0), B=2)
+
+    # ---- torch: grads of the total loss (mel+postnet L1 only would differ;
+    # use the same masked postnet-mel L1 objective on both sides)
+    sd = {k: torch.tensor(v, requires_grad=True) for k, v in sd_np.items()}
+    mel_t, post_t, mel_pad = oracle_forward_t(sd, mcfg, sup)
+    tgt = torch.tensor(np.asarray(sup.mels))
+    valid = torch.tensor(~mel_pad)[..., None]
+    loss_t = ((post_t - tgt).abs() * valid).sum() / valid.sum() / tgt.shape[-1]
+    loss_t.backward()
+    # SGD on the reference's adapted-module subset
+    adapted_prefixes = ("speaker_emb.", "variance_adaptor.", "decoder.",
+                        "mel_linear.", "postnet.")
+    sd2 = {}
+    for k, v in sd.items():
+        if k.startswith(adapted_prefixes) and v.grad is not None:
+            sd2[k] = (v - lr * v.grad).detach()
+        else:
+            sd2[k] = v.detach()
+    mel_after_t, post_after_t, _ = oracle_forward_t(
+        {k: v.requires_grad_(False) for k, v in sd2.items()}, mcfg, sup)
+
+    # ---- jax: Adaptor.adapt with a matching objective
+    adaptor = Adaptor(pcfg, mcfg, acfg)
+
+    def support_loss(p):
+        out, _ = fastspeech2_apply(p, state, sup, mcfg, pcfg, acfg,
+                                   train=False)
+        m = out.mel_valid[..., None]
+        err = jnp.abs(out.postnet_mel - sup.mels) * m
+        return err.sum() / m.sum() / out.postnet_mel.shape[-1]
+
+    # emulate adapt() with the same objective (adapt() uses the full
+    # FastSpeech2Loss; here we isolate the SGD mechanics)
+    from metatts_tpu.algorithms.adapt import partition, merge
+    adapted0, frozen = partition(params, adaptor.modules)
+    g = jax.grad(lambda a: support_loss(merge(a, frozen)))(adapted0)
+    adapted1 = jax.tree.map(lambda p, gi: p - lr * gi, adapted0, g)
+    out_after, _ = fastspeech2_apply(merge(adapted1, frozen), state, sup,
+                                     mcfg, pcfg, acfg, train=False)
+
+    valid_np = ~mel_pad
+    ours = np.asarray(out_after.postnet_mel)
+    theirs = post_after_t.numpy()
+    l1 = np.abs(ours - theirs)[valid_np].mean()
+    assert l1 < 1e-3, f"post-adaptation mel L1 divergence {l1}"
