@@ -104,3 +104,25 @@ class TextDataset:
                 text_to_sequence(self.text[idx], self.cleaners), np.int32),
             "raw_text": self.raw_text[idx],
         }
+
+
+if __name__ == "__main__":
+    # self-test (reference dataset.py:253-307): walk a preprocessed corpus
+    # and count usable samples.  Usage:
+    #   python -m metatts_tpu.data.dataset <preprocess.yaml> [split]
+    import sys
+
+    import yaml
+
+    from ..config import PREPROCESS_DEFAULTS, deep_merge
+
+    cfg = deep_merge(PREPROCESS_DEFAULTS, yaml.safe_load(open(sys.argv[1])))
+    split = sys.argv[2] if len(sys.argv) > 2 else "train"
+    ds = TTSDataset(f"{split}.txt", cfg)
+    n_frames = 0
+    for i in range(len(ds)):
+        s = ds[i]
+        assert len(s["duration"]) == len(s["text"]), s["id"]
+        n_frames += int(s["mel"].shape[0])
+    print(f"{cfg['dataset']}/{split}: {len(ds)} samples, "
+          f"{n_frames} mel frames OK")

@@ -65,3 +65,30 @@ def try_register_mosnet():
         return float(metrics(wav, rate=sr)["mosnet"].mean())
 
     return True
+
+
+def try_register_wav2vec2():
+    """Register the wav2vec2-based quality score (reference
+    ``evaluation/txt/LibriTTS/wav2vec2.txt`` rows) when transformers can
+    load the pretrained model (needs network/weights; absent here)."""
+    try:
+        from transformers import Wav2Vec2Model, Wav2Vec2FeatureExtractor
+        model = Wav2Vec2Model.from_pretrained("facebook/wav2vec2-base")
+        fe = Wav2Vec2FeatureExtractor.from_pretrained(
+            "facebook/wav2vec2-base")
+    except Exception:
+        return False
+
+    import numpy as _np
+
+    @register_scorer("wav2vec2")
+    def _w2v2(wav, sr):
+        import torch
+        inputs = fe(wav, sampling_rate=sr, return_tensors="pt")
+        with torch.no_grad():
+            h = model(**inputs).last_hidden_state
+        # embedding-norm proxy score in [1, 5]
+        return float(1.0 + 4.0 * torch.sigmoid(h.norm(dim=-1).mean()
+                                               - 5.0))
+
+    return True
