@@ -19,23 +19,34 @@ from ..models.loss import LossValues
 class MetaSystem(System):
     algorithm_type = "meta"
 
-    def _episode_loss(self, params, state, sup, qry, rng, train):
+    def _episode_loss(self, params, state, sup, qry, rng, train,
+                      phn_ref=None):
         task = self.acfg["adapt"]["train"]
         losses, _, _ = self.adaptor.meta_learn(
             params, state, sup, qry,
-            steps=task["steps"], lr=task["lr"], train=train, rng=rng)
+            steps=task["steps"], lr=task["lr"], train=train, rng=rng,
+            phn_ref=phn_ref)
         return losses
 
-    def _meta_train_step(self, params, state, opt_state, sup, qry, rng):
-        """sup/qry: Batch pytrees with leading episode axis E."""
+    def _meta_train_step(self, params, state, opt_state, sup, qry, rng,
+                         phn_ref=None):
+        """sup/qry: Batch pytrees with leading episode axis E; phn_ref
+        (E, vocab, d_feat) regenerates the phoneme table per episode for
+        cross-lingual adaptation (reference meta.py:24-33)."""
         n_episodes = sup.texts.shape[0]
 
         def meta_loss(params):
             rngs = jax.random.split(rng, n_episodes)
-            losses = jax.vmap(
-                lambda s, q, r: self._episode_loss(params, state, s, q, r,
-                                                   True)
-            )(sup, qry, rngs)
+            if phn_ref is None:
+                losses = jax.vmap(
+                    lambda s, q, r: self._episode_loss(params, state, s, q,
+                                                       r, True)
+                )(sup, qry, rngs)
+            else:
+                losses = jax.vmap(
+                    lambda s, q, r, pr: self._episode_loss(
+                        params, state, s, q, r, True, pr)
+                )(sup, qry, rngs, phn_ref)
             return jnp.mean(losses.total), losses
 
         (_, losses), grads = jax.value_and_grad(meta_loss, has_aux=True)(params)
@@ -44,13 +55,14 @@ class MetaSystem(System):
         mean_losses = LossValues(*[jnp.mean(l) for l in losses])
         return params, opt_state, mean_losses
 
-    def train_step(self, sup_batch, qry_batch):
+    def train_step(self, sup_batch, qry_batch, phn_ref=None):
         """Host entry: one meta step over an episode-batched support/query."""
-        fn = self._cached_jit("meta_train", self._meta_train_step,
+        name = "meta_train_lang" if phn_ref is not None else "meta_train"
+        fn = self._cached_jit(name, self._meta_train_step,
                               donate_argnums=(0, 2))
         self.params, self.opt_state, losses = fn(
             self.params, self.state, self.opt_state, sup_batch, qry_batch,
-            self.next_rng())
+            self.next_rng(), phn_ref)
         self.global_step += 1
         return losses
 

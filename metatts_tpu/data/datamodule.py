@@ -118,9 +118,27 @@ class MetaDataModule(BaselineDataModule):
             self.train_set, task["shots"], task["queries"], seed=self.seed)
 
     def train_episode_batches(self, meta_batch_size):
+        lang = self.acfg["adapt"]["type"] == "lang"
         while True:
             sup, qry = self.train_sampler.sample_meta_batch(meta_batch_size)
-            yield collate_episode(sup, qry, self.max_seq_len)
+            batch = collate_episode(sup, qry, self.max_seq_len)
+            if lang:
+                import numpy as np
+                import jax.numpy as jnp
+                from .lang_episodes import episode_phoneme_representation
+                phn_ref = jnp.asarray(np.stack([
+                    episode_phoneme_representation(ep) for ep in sup]))
+                want = self.acfg["adapt"]["phoneme_emb"].get(
+                    "representation_dim")
+                if want is not None and phn_ref.shape[-1] != want:
+                    raise ValueError(
+                        f"adapt.phoneme_emb.representation_dim={want} but the "
+                        f"corpus representations are {phn_ref.shape[-1]}-dim; "
+                        "set representation_dim to match (the built-in "
+                        "featurizer emits n_mel_channels dims)")
+                yield batch + (phn_ref,)
+            else:
+                yield batch
 
 
 DATAMODULES = {

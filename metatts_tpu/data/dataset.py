@@ -38,6 +38,8 @@ class TTSDataset:
 
         with open(os.path.join(self.preprocessed_path, "speakers.json")) as f:
             self.speaker_map = json.load(f)
+        self.has_representations = os.path.isdir(
+            os.path.join(self.preprocessed_path, "representation"))
 
     def __len__(self):
         return len(self.text)
@@ -68,6 +70,9 @@ class TTSDataset:
         if self.spk_refer_wav:
             sample["spk_ref_mel_slices"] = self._npy(
                 "spk_ref_mel_slices", "mel", idx).astype(np.float32)
+        if self.has_representations:
+            sample["representation"] = self._npy(
+                "representation", "representation", idx).astype(np.float32)
         return sample
 
 

@@ -36,7 +36,12 @@ def episode_phoneme_representation(samples, d_feat=None):
                 d_feat = s["representation"].shape[-1]
                 break
         if d_feat is None:
-            raise ValueError("no sample carries an SSL representation")
+            raise ValueError(
+                "adapt.type=lang needs per-phoneme representations, but no "
+                "episode sample carries one. Re-run preprocessing with "
+                "`preprocessing: {representation: {enabled: true}}` or drop "
+                "SSL features into <preprocessed_path>/representation/ as "
+                "<spk>-representation-<base>.npy (L, d_feat).")
     acc = np.zeros((vocab, d_feat), np.float64)
     cnt = np.zeros((vocab,), np.int64)
     for s in samples:

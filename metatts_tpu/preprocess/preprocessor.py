@@ -69,6 +69,8 @@ class Preprocessor:
         self.energy_phoneme_averaging = pp["energy"]["feature"] == "phoneme_level"
         self.pitch_normalization = pp["pitch"]["normalization"]
         self.energy_normalization = pp["energy"]["normalization"]
+        self.emit_representations = pp.get("representation", {}).get(
+            "enabled", False)
         self.stft = TacotronSTFT(
             pp["stft"]["filter_length"], pp["stft"]["hop_length"],
             pp["stft"]["win_length"], pp["mel"]["n_mel_channels"],
@@ -88,8 +90,10 @@ class Preprocessor:
     # ----------------------------------------------------------- driver
 
     def build_from_path(self):
-        for sub in ("mel", "pitch", "energy", "duration",
-                    "spk_ref_mel_slices"):
+        subs = ["mel", "pitch", "energy", "duration", "spk_ref_mel_slices"]
+        if self.emit_representations:
+            subs.append("representation")
+        for sub in subs:
             os.makedirs(os.path.join(self.out_dir, sub), exist_ok=True)
 
         pitch_scaler, energy_scaler = OnlineScaler(), OnlineScaler()
@@ -221,6 +225,20 @@ class Preprocessor:
         def save(sub, kind, arr):
             np.save(os.path.join(self.out_dir, sub,
                                  f"{speaker}-{kind}-{basename}.npy"), arr)
+
+        if self.emit_representations:
+            # per-phoneme acoustic representations for the cross-lingual
+            # codebook (the reference consumes precomputed SSL features;
+            # this built-in featurizer phoneme-averages the log-mel — an
+            # interface-compatible stand-in until real SSL features are
+            # dropped into representation/)
+            rep = np.zeros((len(durations), mel.shape[0]), np.float32)
+            pos = 0
+            for i, dur in enumerate(durations):
+                if dur > 0:
+                    rep[i] = mel[:, pos: pos + dur].mean(axis=1)
+                pos += dur
+            save("representation", "representation", rep)
 
         save("duration", "duration", np.asarray(durations, np.int64))
         save("pitch", "pitch", pitch)

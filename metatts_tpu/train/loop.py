@@ -82,8 +82,11 @@ class Trainer:
         t0 = time.time()
         while sys.global_step < total:
             if meta:
-                sup, qry, _, _ = next(gen)
-                losses = sys.train_step(sup, qry)
+                item = next(gen)
+                sup, qry = item[0], item[1]
+                phn_ref = item[4] if len(item) > 4 else None
+                losses = sys.train_step(sup, qry) if phn_ref is None \
+                    else sys.train_step(sup, qry, phn_ref=phn_ref)
             else:
                 batch, _ = next(gen)
                 losses = sys.train_step(batch)
