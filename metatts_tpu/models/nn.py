@@ -31,12 +31,12 @@ def linear_init(rng, d_in, d_out, bias=True):
     return p
 
 
-def linear(p, x, cdtype=jnp.float32):
+def linear(p, x, cdtype=jnp.float32, out_dtype=jnp.float32):
     y = jnp.dot(x.astype(cdtype), p["w"].astype(cdtype),
                 preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]
-    return y
+    return y.astype(out_dtype)
 
 
 # --------------------------------------------------------------- embedding
@@ -59,12 +59,14 @@ def layer_norm_init(d):
             "bias": jnp.zeros((d,), jnp.float32)}
 
 
-def layer_norm(p, x, eps=1e-5):
+def layer_norm(p, x, eps=1e-5, out_dtype=jnp.float32):
+    # stats always in fp32; out_dtype lets the residual stream stay bf16
+    # (halves every saved activation on second-order paths)
     x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     y = (x - mean) * lax.rsqrt(var + eps)
-    return y * p["scale"] + p["bias"]
+    return (y * p["scale"] + p["bias"]).astype(out_dtype)
 
 
 # --------------------------------------------------------------- batchnorm
@@ -105,7 +107,8 @@ def conv1d_init(rng, c_in, c_out, k, bias=True):
     return p
 
 
-def conv1d(p, x, cdtype=jnp.float32, dilation=1, stride=1, padding="SAME"):
+def conv1d(p, x, cdtype=jnp.float32, dilation=1, stride=1, padding="SAME",
+           out_dtype=jnp.float32):
     """x: (B, T, C_in) -> (B, T, C_out); kernel stored OIH (torch layout).
 
     Implemented as an im2col matmul (concatenate the K dilated shifts, one
@@ -120,6 +123,16 @@ def conv1d(p, x, cdtype=jnp.float32, dilation=1, stride=1, padding="SAME"):
     xc = x.astype(cdtype)
     if K == 1:
         y = jnp.dot(xc, w[:, :, 0].T.astype(cdtype)).astype(jnp.float32)
+    elif jax.default_backend() == "tpu":
+        # native conv on TPU: saves only (x, w) for backward, where im2col
+        # saves the K-times-larger cols tensor — the dominant residual in
+        # second-order inner loops (im2col below is the XLA-CPU path, whose
+        # conv lowering compile time is pathological at >=256 channels)
+        pad = dilation * (K - 1) // 2
+        y = lax.conv_general_dilated(
+            xc, w.astype(cdtype), window_strides=(1,),
+            padding=[(pad, pad)], rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "OIW", "NWC")).astype(jnp.float32)
     else:
         T = x.shape[1]
         pad = dilation * (K - 1) // 2
@@ -132,7 +145,7 @@ def conv1d(p, x, cdtype=jnp.float32, dilation=1, stride=1, padding="SAME"):
         y = jnp.dot(cols, wmat).astype(jnp.float32)
     if "b" in p:
         y = y + p["b"]
-    return y
+    return y.astype(out_dtype)
 
 
 def conv_transpose1d_init(rng, c_in, c_out, k, bias=True):

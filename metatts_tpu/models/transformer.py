@@ -47,7 +47,7 @@ def mha_init(rng, d_model, n_head, d_k, d_v):
 
 
 def mha(p, x, key_valid, n_head, *, cdtype, drop_rate, train, rng,
-        attn_impl="einsum", scores_dtype=jnp.float32):
+        attn_impl="einsum", scores_dtype=jnp.float32, adtype=jnp.float32):
     """Self-attention, post-LN residual. key_valid: (B, T) bool.
 
     attn_impl:
@@ -58,9 +58,9 @@ def mha(p, x, key_valid, n_head, *, cdtype, drop_rate, train, rng,
     """
     B, T, D = x.shape
     d_k = p["w_q"]["w"].shape[1] // n_head
-    q = nn.linear(p["w_q"], x, cdtype).reshape(B, T, n_head, d_k)
-    k = nn.linear(p["w_k"], x, cdtype).reshape(B, T, n_head, d_k)
-    v = nn.linear(p["w_v"], x, cdtype).reshape(B, T, n_head, d_k)
+    q = nn.linear(p["w_q"], x, cdtype, adtype).reshape(B, T, n_head, d_k)
+    k = nn.linear(p["w_k"], x, cdtype, adtype).reshape(B, T, n_head, d_k)
+    v = nn.linear(p["w_v"], x, cdtype, adtype).reshape(B, T, n_head, d_k)
     if attn_impl == "flash":
         from ..ops.pallas.attention import flash_attention
         fold = lambda t: t.transpose(0, 2, 1, 3).reshape(
@@ -70,10 +70,14 @@ def mha(p, x, key_valid, n_head, *, cdtype, drop_rate, train, rng,
         out = o.reshape(B, n_head, T, d_k).transpose(0, 2, 1, 3)
     else:
         def attn_core(q_, k_, v_, valid_):
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q_.astype(cdtype),
+            # scale folded into q: a bare `scores / np.sqrt(d_k)` would
+            # promote bf16 scores to f32 (numpy f64 scalar promotion) and
+            # silently defeat the scores_dtype knob
+            scale = jnp.asarray(1.0 / np.sqrt(d_k), cdtype)
+            scores = jnp.einsum("bqhd,bkhd->bhqk",
+                                q_.astype(cdtype) * scale,
                                 k_.astype(cdtype),
                                 preferred_element_type=scores_dtype)
-            scores = scores / np.sqrt(d_k)
             scores = jnp.where(valid_[:, None, None, :], scores,
                                jnp.asarray(-1e9, scores_dtype))
             # softmax max-subtraction keeps bf16 scores numerically safe;
@@ -89,9 +93,9 @@ def mha(p, x, key_valid, n_head, *, cdtype, drop_rate, train, rng,
             attn_core = jax.checkpoint(
                 attn_core, policy=jax.checkpoint_policies.nothing_saveable)
         out = attn_core(q, k, v, key_valid)
-    out = nn.linear(p["fc"], out.reshape(B, T, n_head * d_k), cdtype)
+    out = nn.linear(p["fc"], out.reshape(B, T, n_head * d_k), cdtype, adtype)
     out = nn.dropout(rng, out, drop_rate, train)
-    return nn.layer_norm(p["ln"], out + x)
+    return nn.layer_norm(p["ln"], out + x, out_dtype=adtype)
 
 
 # ------------------------------------------------------------------- ffn
@@ -105,12 +109,12 @@ def ffn_init(rng, d_model, d_inner, kernel_sizes):
     }
 
 
-def ffn(p, x, *, cdtype, drop_rate, train, rng):
-    h = nn.conv1d(p["w1"], x, cdtype)
+def ffn(p, x, *, cdtype, drop_rate, train, rng, adtype=jnp.float32):
+    h = nn.conv1d(p["w1"], x, cdtype, out_dtype=adtype)
     h = jax.nn.relu(h)
-    h = nn.conv1d(p["w2"], h, cdtype)
+    h = nn.conv1d(p["w2"], h, cdtype, out_dtype=adtype)
     h = nn.dropout(rng, h, drop_rate, train)
-    return nn.layer_norm(p["ln"], h + x)
+    return nn.layer_norm(p["ln"], h + x, out_dtype=adtype)
 
 
 # ------------------------------------------------------------- fft block
@@ -122,14 +126,16 @@ def fft_block_init(rng, d_model, n_head, d_k, d_v, d_inner, kernel_sizes):
 
 
 def fft_block(p, x, valid, n_head, *, cdtype, drop_rate, train, rng,
-              attn_impl="einsum", scores_dtype=jnp.float32):
+              attn_impl="einsum", scores_dtype=jnp.float32,
+              adtype=jnp.float32):
     r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
     x = mha(p["attn"], x, valid, n_head,
             cdtype=cdtype, drop_rate=drop_rate, train=train, rng=r1,
-            attn_impl=attn_impl, scores_dtype=scores_dtype)
-    x = jnp.where(valid[..., None], x, 0.0)
-    x = ffn(p["ffn"], x, cdtype=cdtype, drop_rate=drop_rate, train=train, rng=r2)
-    return jnp.where(valid[..., None], x, 0.0)
+            attn_impl=attn_impl, scores_dtype=scores_dtype, adtype=adtype)
+    x = jnp.where(valid[..., None], x, jnp.zeros((), x.dtype))
+    x = ffn(p["ffn"], x, cdtype=cdtype, drop_rate=drop_rate, train=train,
+            rng=r2, adtype=adtype)
+    return jnp.where(valid[..., None], x, jnp.zeros((), x.dtype))
 
 
 # --------------------------------------------------------------- encoder
@@ -155,11 +161,13 @@ def encoder_apply(p, texts, src_valid, cfg, *, train, rng, pos_table):
     t = cfg["transformer"]
     cdtype = jnp.dtype(cfg.get("compute_dtype", "float32"))
     L = texts.shape[1]
-    x = nn.embedding(p["src_word_emb"], texts) + pos_table[None, :L]
+    adtype = jnp.dtype(cfg.get("activation_dtype", "float32"))
+    x = (nn.embedding(p["src_word_emb"], texts)
+         + pos_table[None, :L]).astype(adtype)
     blk = _make_block(t["encoder_head"], cdtype, t["encoder_dropout"], train,
                       cfg.get("remat", False), resolve_attn_impl(cfg),
                       jnp.dtype(cfg.get("attention_scores_dtype",
-                                        "float32")))
+                                        "float32")), adtype)
     for i, lp in enumerate(p["layers"]):
         lrng = jax.random.fold_in(rng, i) if rng is not None else None
         x = blk(lp, x, src_valid, lrng)
@@ -178,11 +186,12 @@ def resolve_attn_impl(cfg):
 
 
 def _make_block(n_head, cdtype, drop_rate, train, remat, attn_impl,
-                scores_dtype=jnp.float32):
+                scores_dtype=jnp.float32, adtype=jnp.float32):
     def run(lp, x, valid, lrng):
         return fft_block(lp, x, valid, n_head, cdtype=cdtype,
                          drop_rate=drop_rate, train=train, rng=lrng,
-                         attn_impl=attn_impl, scores_dtype=scores_dtype)
+                         attn_impl=attn_impl, scores_dtype=scores_dtype,
+                         adtype=adtype)
     return jax.checkpoint(run) if remat else run
 
 
@@ -206,11 +215,12 @@ def decoder_apply(p, x, mel_valid, cfg, *, train, rng, pos_table):
     t = cfg["transformer"]
     cdtype = jnp.dtype(cfg.get("compute_dtype", "float32"))
     T = x.shape[1]
-    x = x + pos_table[None, :T]
+    adtype = jnp.dtype(cfg.get("activation_dtype", "float32"))
+    x = (x + pos_table[None, :T]).astype(adtype)
     blk = _make_block(t["decoder_head"], cdtype, t["decoder_dropout"], train,
                       cfg.get("remat", False), resolve_attn_impl(cfg),
                       jnp.dtype(cfg.get("attention_scores_dtype",
-                                        "float32")))
+                                        "float32")), adtype)
     for i, lp in enumerate(p["layers"]):
         lrng = jax.random.fold_in(rng, i) if rng is not None else None
         x = blk(lp, x, mel_valid, lrng)

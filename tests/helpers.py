@@ -21,6 +21,8 @@ def tiny_model_cfg(**over):
     cfg["variance_embedding"].update(n_bins=16)
     cfg["max_seq_len"] = 64
     cfg["compute_dtype"] = "float32"
+    cfg["activation_dtype"] = "float32"
+    cfg["attention_scores_dtype"] = "float32"
     cfg["remat"] = False
     cfg.update(over)
     return cfg

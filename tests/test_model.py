@@ -100,3 +100,45 @@ def test_grad_flows_everywhere(setup):
         gnorm = sum(float(jnp.sum(jnp.abs(g)))
                     for g in jax.tree.leaves(grads[key]))
         assert gnorm > 0, f"no gradient into {key}"
+
+
+def test_bf16_activation_stream_parity_and_second_order():
+    """activation_dtype/attention_scores_dtype=bfloat16 (the TPU training
+    defaults) track the fp32 stream closely and keep second-order meta
+    gradients finite and nonzero."""
+    import jax
+    from metatts_tpu.algorithms import get_system
+    from helpers import (tiny_preprocess_cfg, tiny_train_cfg, algorithm_cfg,
+                         STATS)
+
+    rng = np.random.RandomState(0)
+    batch = synth_batch(rng, B=2)
+
+    def build(adtype):
+        mcfg = tiny_model_cfg()
+        mcfg["activation_dtype"] = adtype
+        mcfg["attention_scores_dtype"] = adtype
+        return get_system("meta")(tiny_preprocess_cfg(), mcfg,
+                                  tiny_train_cfg(), algorithm_cfg("meta"),
+                                  stats=STATS, n_speakers=4)
+
+    s32, s16 = build("float32"), build("bfloat16")
+    s16.params = s32.params
+    o32, _ = s32.adaptor.forward(s32.params, s32.state, batch, train=False,
+                                 rng=None)
+    o16, _ = s16.adaptor.forward(s16.params, s16.state, batch, train=False,
+                                 rng=None)
+    d = float(jnp.abs(o32.postnet_mel - o16.postnet_mel).mean())
+    scale = float(jnp.abs(o32.postnet_mel).mean())
+    assert d / (scale + 1e-9) < 0.05, f"bf16 stream drifted: rel {d/scale}"
+
+    def mloss(p):
+        l, _, _ = s16.adaptor.meta_learn(
+            p, s16.state, batch, batch, steps=1, lr=1e-3, train=True,
+            rng=jax.random.PRNGKey(0))
+        return l.total
+
+    g = jax.jit(jax.grad(mloss))(s16.params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+    assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
