@@ -99,7 +99,11 @@ def main():
         p, system.state, sup1, steps=10,
         lr=system.acfg["adapt"]["test"]["lr"],
         first_order=True, train=False, rng=None))
-    synth = jax.jit(lambda p: system.adaptor.forward(
+    # synthesis is pure inference -> fused FFT-block megakernel (the adapt
+    # chunks differentiate, so they keep the regular path)
+    from metatts_tpu.algorithms.adapt import Adaptor
+    adaptor_inf = Adaptor(pcfg, dict(mcfg, _fused_infer=True), acfg)
+    synth = jax.jit(lambda p: adaptor_inf.forward(
         p, system.state, qry1, train=False, average_spk_emb=True)[0])
 
     params = adapt_chunk(system.params)           # compile chunk
@@ -117,6 +121,29 @@ def main():
     audio_s = float(np.asarray(mel_lens).sum()) * 256 / 22050.0
     rtf = adapt_synth_s / max(audio_s, 1e-6)
 
+    # chained acoustic-forward latency (serving): repeated same-input calls
+    # through the axon tunnel under-report wall time unless each call
+    # depends on the previous result, so thread a zero-scale data
+    # dependency through the params pytree
+    synth_b = jax.jit(lambda p, b: adaptor_inf.forward(
+        p, system.state, b, train=False, average_spk_emb=True)[0])
+
+    def chained_window(n=10):
+        # block_until_ready alone does not serialize through the tunnel,
+        # and the first window absorbs hidden compile time — so chain a
+        # data dependency and discard the first window
+        b = qry1
+        t0 = time.time()
+        for _ in range(n):
+            out = synth_b(params, b)
+            eps = out.postnet_mel.mean() * 1e-30
+            b = b._replace(p_targets=b.p_targets + eps)
+        float(np.asarray(out.postnet_mel.mean()))    # hard host sync
+        return (time.time() - t0) / n * 1e3
+
+    chained_window()                                 # absorb compile
+    synth_forward_ms = chained_window()
+
     print(json.dumps({
         "metric": "train_mel_frames_per_sec_per_chip",
         "value": round(value, 1),
@@ -128,6 +155,7 @@ def main():
         "loss": float(losses.total),
         "adapt100_synth_rtf": round(rtf, 4),
         "adapt100_synth_s": round(adapt_synth_s, 3),
+        "synth_forward_ms_chained": round(synth_forward_ms, 2),
     }))
 
 

@@ -164,6 +164,12 @@ def encoder_apply(p, texts, src_valid, cfg, *, train, rng, pos_table):
     adtype = jnp.dtype(cfg.get("activation_dtype", "float32"))
     x = (nn.embedding(p["src_word_emb"], texts)
          + pos_table[None, :L]).astype(adtype)
+    if _use_fused_infer(cfg, train, t["encoder_hidden"], t["encoder_head"]):
+        from ..ops.pallas.fftblock import fused_fft_block
+        for lp in p["layers"]:
+            x = fused_fft_block(lp, x, src_valid,
+                                t["encoder_head"]).astype(adtype)
+        return x
     blk = _make_block(t["encoder_head"], cdtype, t["encoder_dropout"], train,
                       cfg.get("remat", False), resolve_attn_impl(cfg),
                       jnp.dtype(cfg.get("attention_scores_dtype",
@@ -172,6 +178,20 @@ def encoder_apply(p, texts, src_valid, cfg, *, train, rng, pos_table):
         lrng = jax.random.fold_in(rng, i) if rng is not None else None
         x = blk(lp, x, src_valid, lrng)
     return x
+
+
+def _use_fused_infer(cfg, train, d_model, n_head):
+    """Fused FFT-block megakernel gate: explicitly opted in (serve.py sets
+    the private _fused_infer flag on its jitted synthesis configs), eval
+    mode, TPU, and MXU-tileable dims.  Never reached by differentiated
+    paths — the kernel has no VJP by design (test-time adaptation
+    differentiates eval-mode forwards through the regular path)."""
+    if not cfg.get("_fused_infer") or train:
+        return False
+    if jax.default_backend() != "tpu" and not cfg.get("_fused_interpret"):
+        return False
+    from ..ops.pallas.fftblock import fused_block_supported
+    return fused_block_supported(d_model, d_model // n_head)
 
 
 def resolve_attn_impl(cfg):
@@ -217,6 +237,12 @@ def decoder_apply(p, x, mel_valid, cfg, *, train, rng, pos_table):
     T = x.shape[1]
     adtype = jnp.dtype(cfg.get("activation_dtype", "float32"))
     x = (x + pos_table[None, :T]).astype(adtype)
+    if _use_fused_infer(cfg, train, t["decoder_hidden"], t["decoder_head"]):
+        from ..ops.pallas.fftblock import fused_fft_block
+        for lp in p["layers"]:
+            x = fused_fft_block(lp, x, mel_valid,
+                                t["decoder_head"]).astype(adtype)
+        return x
     blk = _make_block(t["decoder_head"], cdtype, t["decoder_dropout"], train,
                       cfg.get("remat", False), resolve_attn_impl(cfg),
                       jnp.dtype(cfg.get("attention_scores_dtype",

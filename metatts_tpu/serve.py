@@ -28,6 +28,10 @@ class SynthesisEngine:
         self.state = state
         self.pcfg = preprocess_cfg
         self.mcfg = model_cfg
+        # pure-inference jits opt into the fused FFT-block megakernel
+        # (ops/pallas/fftblock.py) — adapt_speaker keeps the base mcfg
+        # because it differentiates through the forward
+        self.mcfg_infer = dict(model_cfg, _fused_infer=True)
         self.acfg = algorithm_cfg
         self.adaptor = Adaptor(preprocess_cfg, model_cfg, algorithm_cfg)
         self.vocoder = vocoder or Vocoder(
@@ -46,7 +50,8 @@ class SynthesisEngine:
             def fn(params, state, batch, p_control, e_control, d_control):
                 from .models.fastspeech2 import fastspeech2_apply
                 out, _ = fastspeech2_apply(
-                    params, state, batch, self.mcfg, self.pcfg, self.acfg,
+                    params, state, batch, self.mcfg_infer, self.pcfg,
+                    self.acfg,
                     train=False, teacher_forced=False, max_mel_len=mel_cap,
                     p_control=p_control, e_control=e_control,
                     d_control=d_control)
