@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--result", type=str, default=None,
                     help="Saver result dir with audio/Testing trees")
     ap.add_argument("--step", type=str, default="step_last")
+    ap.add_argument("--ft-step", type=int, default=None,
+                    help="restrict synth wavs to one adaptation saving step "
+                         "(*-FTstep_<n>.synth.wav)")
     ap.add_argument("--dvector-weights", type=str, default=None)
     ap.add_argument("--out", type=str, default="eval_out")
     ap.add_argument("--max-per-speaker", type=int, default=16)
@@ -43,7 +46,8 @@ def main():
     from metatts_tpu.evaluation.similarity import pair_similarity
     from metatts_tpu.evaluation.verification import speaker_verification_eer
     from metatts_tpu.evaluation.visualize import (tsne_plot,
-                                                  similarity_density_plot)
+                                                  similarity_density_plot,
+                                                  det_plot, roc_plot)
 
     h = EvaluationHarness(cache_dir=os.path.join(args.out, "cache"),
                           weights_npz=args.dvector_weights)
@@ -54,6 +58,7 @@ def main():
     res = speaker_verification_eer(*pair_similarity(real))
     rows.append(("real_eer", f"{res['eer']:.4f}"))
     rows.append(("real_auc", f"{res['auc']:.4f}"))
+    curve_results = {"real": res}
     same, diff = pair_similarity(real)
     similarity_density_plot(same, diff,
                             os.path.join(args.out, "real_similarity.png"))
@@ -61,17 +66,27 @@ def main():
 
     if args.result:
         for kind in ("recon", "synth"):
-            groups = h.embed_result_tree(args.result, kind, args.step)
+            ft = args.ft_step if kind == "synth" else None
+            groups = h.embed_result_tree(args.result, kind, args.step,
+                                         ft_step=ft)
             if not groups:
                 continue
+            label = f"{kind}_{args.step}" + (
+                f"_FTstep{ft}" if ft is not None else "")
             r = speaker_verification_eer(*pair_similarity(groups))
-            rows.append((f"{kind}_{args.step}_eer", f"{r['eer']:.4f}"))
-            rows.append((f"{kind}_{args.step}_auc", f"{r['auc']:.4f}"))
+            curve_results[label] = r
+            rows.append((f"{label}_eer", f"{r['eer']:.4f}"))
+            rows.append((f"{label}_auc", f"{r['auc']:.4f}"))
             sims = h.similarity_to_enrollment(real, groups)
             if sims:
                 import numpy as np
-                rows.append((f"{kind}_{args.step}_centroid_sim",
+                rows.append((f"{label}_centroid_sim",
                              f"{np.mean(list(sims.values())):.4f}"))
+
+    # DET + ROC figures over every evaluated group (reference
+    # speaker_verification.py:20 emits both per mode)
+    det_plot(curve_results, os.path.join(args.out, "det.png"))
+    roc_plot(curve_results, os.path.join(args.out, "roc.png"))
 
     if args.mos:
         rows += mos_rows(args.real, args.result, args.step,
@@ -137,18 +152,31 @@ def run_matrix(args):
                                 max_per_speaker=cfg.get("n_sample", 16))
     r = speaker_verification_eer(*pair_similarity(real))
     rows.append(("real", f"{r['eer']:.4f}"))
+    curve_results = {"real": r}
+    # ft_step_list: adaptation saving steps to evaluate separately
+    # (reference evaluation/config.py step matrix {0, 5, 10, 20, 50, 100});
+    # a None entry evaluates over all synth wavs regardless of step.
+    ft_steps = cfg.get("ft_step_list", [None])
     for mode, result_dir in cfg.get("modes", {}).items():
         for step in cfg.get("step_list", ["step_last"]):
             for kind in ("recon", "synth"):
-                groups = h.embed_result_tree(result_dir, kind, step)
-                if not groups:
-                    continue
-                r = speaker_verification_eer(*pair_similarity(groups))
-                rows.append((f"{mode}_{kind}_{step}", f"{r['eer']:.4f}"))
-                sims = h.similarity_to_enrollment(real, groups)
-                if sims:
-                    rows.append((f"{mode}_{kind}_{step}_centroid",
-                                 f"{np.mean(list(sims.values())):.4f}"))
+                for ft in (ft_steps if kind == "synth" else [None]):
+                    groups = h.embed_result_tree(result_dir, kind, step,
+                                                 ft_step=ft)
+                    if not groups:
+                        continue
+                    label = f"{mode}_{kind}_{step}" + (
+                        f"_FTstep{ft}" if ft is not None else "")
+                    r = speaker_verification_eer(*pair_similarity(groups))
+                    curve_results[label] = r
+                    rows.append((label, f"{r['eer']:.4f}"))
+                    sims = h.similarity_to_enrollment(real, groups)
+                    if sims:
+                        rows.append((f"{label}_centroid",
+                                     f"{np.mean(list(sims.values())):.4f}"))
+    from metatts_tpu.evaluation.visualize import det_plot, roc_plot
+    det_plot(curve_results, os.path.join(out_dir, "det.png"))
+    roc_plot(curve_results, os.path.join(out_dir, "roc.png"))
     path = h.write_report(os.path.join(out_dir, "eer.txt"), rows)
     print(f"wrote {path}")
     for label, value in rows:

@@ -17,7 +17,7 @@ import json
 import os
 
 
-def build(configs):
+def build(configs, log_dir="."):
     preprocess_cfgs, model_cfg, train_cfg, algorithm_cfg = configs
     from metatts_tpu.algorithms import get_system
     from metatts_tpu.data import get_datamodule
@@ -36,7 +36,7 @@ def build(configs):
     spk_refer_wav = algorithm_cfg["adapt"]["speaker_emb"] in (
         "encoder", "dvec", "scratch_encoder")
     dm = get_datamodule(algorithm_cfg["type"])(
-        preprocess_cfgs, train_cfg, algorithm_cfg,
+        preprocess_cfgs, train_cfg, algorithm_cfg, log_dir=log_dir,
         spk_refer_wav=spk_refer_wav)
     system = get_system(algorithm_cfg["type"])(
         preprocess_cfgs, model_cfg, train_cfg, algorithm_cfg,
@@ -47,7 +47,11 @@ def build(configs):
 def main(args, configs):
     from metatts_tpu.train.loop import Trainer
 
-    system, dm = build(configs)
+    # frozen episode descriptions ({val,test}_descriptions.json) persist in
+    # the experiment log dir (reference writes them to its log_dir too)
+    log_dir = os.path.join(args.output_dir, "log", args.exp_name)
+    os.makedirs(log_dir, exist_ok=True)
+    system, dm = build(configs, log_dir=log_dir)
     dm.setup()
     vocoder = None
     if args.stage in ("train", "test") and not args.no_synth:

@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.fastspeech2 import fastspeech2_apply
 from ..models.loss import fastspeech2_loss
@@ -33,6 +34,74 @@ def partition(params, modules):
 
 def merge(adapted, frozen):
     return {**adapted, **frozen}
+
+
+def _tree_vdot(a, b):
+    return sum(jax.tree.leaves(jax.tree.map(
+        lambda x, y: jnp.vdot(x, y), a, b)))
+
+
+def _zero_cotangents(tree):
+    """Zero cotangent pytree: float0 for integer leaves (JAX convention)."""
+    return jax.tree.map(
+        lambda x: jnp.zeros_like(x)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)
+        else np.zeros(jnp.shape(x), jax.dtypes.float0), tree)
+
+
+def make_hvp_sgd_step(adaptor, lr, train, fast_mcfg, exact_mcfg):
+    """One inner SGD step ``a' = a - lr * grad_a L(a, frozen)`` with a
+    hand-written second-order rule (custom_vjp).
+
+    This is what lets the Pallas flash-attention kernel — a once-
+    differentiable custom_vjp — run INSIDE the twice-differentiated MAML
+    inner loop, and what removes the (B, h, T, T) attention-score residuals
+    the unrolled double-backward stacks across the 5-step inner scan
+    (the round-1 17 GB > 15.75 GB v5e wall):
+
+      forward:  g computed on ``fast_mcfg`` (flash on TPU) — only ever
+                differentiated once, inside this operator.
+      backward: the exact step Jacobian VJP
+                    da = u - lr * H_aa u,   dfrozen = -lr * H_fa u
+                via ONE Hessian-vector product, recomputed from the saved
+                step inputs on ``exact_mcfg`` (einsum + remat) — transient
+                within each step's backward, never stored across the scan.
+
+    Matches the autodiff-through-the-unrolled-step gradient exactly when
+    fast == exact, and to kernel precision (~1e-6) with flash forward.
+    Reference semantics: plain SGD at ``adapt.task.lr``, second-order only
+    at train (``base_adaptor.py:98-112``).
+    """
+
+    def fast_grad(adapted, frozen, state, sup_batch, rng):
+        return jax.grad(adaptor._support_loss)(
+            adapted, frozen, state, sup_batch, train, rng, fast_mcfg)
+
+    @jax.custom_vjp
+    def sgd_step(adapted, frozen, state, sup_batch, rng):
+        g = fast_grad(adapted, frozen, state, sup_batch, rng)
+        return jax.tree.map(lambda p, gi: p - lr * gi, adapted, g)
+
+    def fwd(adapted, frozen, state, sup_batch, rng):
+        out = sgd_step(adapted, frozen, state, sup_batch, rng)
+        return out, (adapted, frozen, state, sup_batch, rng)
+
+    def bwd(res, u):
+        adapted, frozen, state, sup_batch, rng = res
+
+        def g_dot_u(a_, f_):
+            g = jax.grad(adaptor._support_loss)(
+                a_, f_, state, sup_batch, train, rng, exact_mcfg)
+            return _tree_vdot(g, u)
+
+        h_aa_u, h_fa_u = jax.grad(g_dot_u, argnums=(0, 1))(adapted, frozen)
+        da = jax.tree.map(lambda ui, hi: ui - lr * hi, u, h_aa_u)
+        df = jax.tree.map(lambda hi: -lr * hi, h_fa_u)
+        return (da, df, _zero_cotangents(state),
+                _zero_cotangents(sup_batch), _zero_cotangents(rng))
+
+    sgd_step.defvjp(fwd, bwd)
+    return sgd_step
 
 
 class Adaptor:
@@ -77,24 +146,56 @@ class Adaptor:
         Reference semantics (``base_adaptor.py:98-112``): plain SGD at
         ``adapt.task.lr`` on the support loss, second-order only when
         train and not first_order.
+
+        Second-order implementations (``model.second_order_impl``):
+          * "custom_hvp" (default) — each SGD step is a custom-VJP operator
+            (``make_hvp_sgd_step``): flash-kernel forward, exact einsum HVP
+            backward recomputed per step.  No (T, T) residuals stored across
+            the scan; flash runs inside the inner loop.
+          * "unrolled" — plain autodiff through the unrolled inner loop on
+            the einsum(+remat) path (the flash custom_vjp kernel is only
+            once-differentiable, so it is forced off here).
         """
         adapted, frozen = partition(params, self.modules)
-        # second-order inner loops are differentiated twice; the flash
-        # attention kernel (custom_vjp) only supports one differentiation,
-        # so force the einsum implementation there
-        inner_impl = self.mcfg.get("inner_attention_impl", "einsum_remat")
-        inner_mcfg = self.mcfg if first_order else \
-            {**self.mcfg, "attention_impl": inner_impl}
-        grad_fn = jax.grad(self._support_loss)
+        so_impl = self.mcfg.get("second_order_impl", "custom_hvp")
 
-        def step(carry, step_rng):
-            a = carry
-            g = grad_fn(a, frozen, state, sup_batch, train, step_rng,
-                        inner_mcfg)
-            if first_order:
-                g = jax.lax.stop_gradient(g)
-            a = jax.tree.map(lambda p, gi: p - lr * gi, a, g)
-            return a, None
+        if not first_order and so_impl == "custom_hvp":
+            exact_mcfg = {**self.mcfg, "attention_impl":
+                          self.mcfg.get("inner_attention_impl",
+                                        "einsum_remat")}
+            # the fast forward runs the flash kernel on TPU; off-TPU the
+            # Pallas call has no compiled lowering at all, so downgrade to
+            # einsum there (the old unrolled path's fallback contract)
+            from ..models.transformer import resolve_attn_impl
+            fast_impl = resolve_attn_impl(self.mcfg)
+            if fast_impl == "flash" and jax.default_backend() != "tpu":
+                fast_impl = "einsum"
+            step_fn = make_hvp_sgd_step(
+                self, lr, train,
+                fast_mcfg={**self.mcfg, "attention_impl": fast_impl},
+                exact_mcfg=exact_mcfg)
+
+            def step(carry, step_rng):
+                return step_fn(carry, frozen, state, sup_batch,
+                               step_rng), None
+        else:
+            # second-order unrolled inner loops are differentiated twice;
+            # the flash attention kernel (custom_vjp) only supports one
+            # differentiation, so force the einsum implementation there
+            inner_impl = self.mcfg.get("inner_attention_impl",
+                                       "einsum_remat")
+            inner_mcfg = self.mcfg if first_order else \
+                {**self.mcfg, "attention_impl": inner_impl}
+            grad_fn = jax.grad(self._support_loss)
+
+            def step(carry, step_rng):
+                a = carry
+                g = grad_fn(a, frozen, state, sup_batch, train, step_rng,
+                            inner_mcfg)
+                if first_order:
+                    g = jax.lax.stop_gradient(g)
+                a = jax.tree.map(lambda p, gi: p - lr * gi, a, g)
+                return a, None
 
         step_rngs = (jax.random.split(rng, steps) if rng is not None
                      else [None] * steps)

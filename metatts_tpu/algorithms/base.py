@@ -8,6 +8,7 @@ in jitted pure functions, cached per input-shape bucket.
 
 
 import jax
+import numpy as np
 import optax
 
 from ..algorithms.adapt import Adaptor
@@ -49,6 +50,52 @@ class System:
         self.opt_state = self.tx.init(self.params)
         self.global_step = 0
         self._compiled = {}
+        # dp mesh (None = single device); set by enable_mesh()
+        self.mesh = None
+        self._rep = None
+        self._ep = None
+
+    # ------------------------------------------------------- distribution
+
+    def enable_mesh(self, n_devices=None):
+        """Distribute the training step over a 1-D dp mesh — the CLI-reachable
+        equivalent of the reference's default DDP recipe
+        (``main.py:30-38``: gpus=-1, strategy='ddp'; one episode per GPU).
+
+        The episode (or flat-batch) axis is sharded ``P("dp")``, params /
+        state / optimizer state are replicated, and the mean over episodes
+        inside the jitted step becomes an XLA psum over ICI.  Returns the
+        mesh, or None when only one device is visible (single-chip runs are
+        unchanged).  Scaling arithmetic: global batch = episodes_per_chip x
+        n_chips x grad_acc_step (see CLAUDE.md).
+        """
+        from ..parallel.mesh import make_mesh, replicated, episode_sharding
+        n = n_devices or len(jax.devices())
+        if n <= 1:
+            return None
+        self.mesh = make_mesh(n)
+        self._rep = replicated(self.mesh)
+        self._ep = episode_sharding(self.mesh)
+        self.params = jax.device_put(self.params, self._rep)
+        self.state = jax.device_put(self.state, self._rep)
+        self.opt_state = jax.tree.map(
+            lambda x: jax.device_put(x, self._rep)
+            if hasattr(x, "dtype") else x, self.opt_state)
+        self._compiled = {}  # re-jit with explicit shardings
+        return self.mesh
+
+    def _shard_episode_batch(self, batch, what="meta_batch_size"):
+        """Place a leading-axis-batched pytree onto the mesh (P('dp'))."""
+        if self.mesh is None or batch is None:
+            return batch
+        n = int(np.prod(self.mesh.devices.shape))
+        E = jax.tree.leaves(batch)[0].shape[0]
+        if E % n:
+            raise ValueError(
+                f"{what}={E} must be a multiple of the {n}-device mesh "
+                f"(reference recipe: 1 episode/device x grad_acc_step; "
+                f"set optimizer.grad_acc_step to scale the effective batch)")
+        return jax.tree.map(lambda x: jax.device_put(x, self._ep), batch)
 
     # ------------------------------------------------------------- utils
 
@@ -74,3 +121,78 @@ class System:
                                               train=train, rng=rng)
         losses = self.adaptor.loss(batch, out)
         return losses.total, (losses, new_state)
+
+    # --------------------------------------------------- test adaptation
+
+    def test_adapt(self, sup_batch, qry_batch, ft_steps=None):
+        """Test-time long adaptation with snapshot evaluation, SHARED by all
+        three systems exactly as the reference shares
+        ``BaseAdaptorSystem.test_step`` (``base_adaptor.py:136-189``):
+        first-order SGD on the support set in chunks, recording the query
+        recon loss and a full parameter snapshot at every saving step.
+
+        Returns ``(rows, snapshots)`` host-side, where ``rows`` is a list of
+        ``(ft_step, LossValues)`` and ``snapshots`` a list of
+        ``(ft_step, params)`` — one per saving step including step 0 — so the
+        caller can synthesize per-adaptation-step audio (the EER-vs-steps
+        evaluation input, reference ``saver.py:130-194``).
+        """
+        test_cfg = self.acfg["adapt"]["test"]
+        lr = test_cfg["lr"]
+        saving_steps = ft_steps or test_cfg["saving_steps"]
+        max_steps = test_cfg["steps"]
+
+        def adapt_chunk(params, state, sup, rng, n):
+            # eval-mode forward (no dropout) + first-order SGD, matching the
+            # reference test loop (model.eval() + first_order adapt_)
+            return self.adaptor.adapt(params, state, sup, steps=n, lr=lr,
+                                      first_order=True, train=False, rng=None)
+
+        def qry_eval(params, state, sup, qry, rng):
+            qry_c = qry._replace(speaker_args=sup.speaker_args[:1].repeat(
+                qry.texts.shape[0], axis=0)
+                if not isinstance(sup.speaker_args, tuple)
+                else sup.speaker_args)
+            out, _ = self.adaptor.forward(params, state, qry_c, train=False,
+                                          rng=None, average_spk_emb=True)
+            return self.adaptor.loss(qry_c, out)
+
+        eval_fn = self._cached_jit("test_eval", qry_eval)
+
+        one_shot = test_cfg.get("1-shot", False)
+        if one_shot:
+            # reference base_adaptor.py:139-147: each adaptation step uses a
+            # single support utterance, cycling through the support set
+            K = sup_batch.texts.shape[0]
+            single_fn = self._cached_jit(
+                "test_adapt_1shot",
+                lambda p, st, s, r: adapt_chunk(p, st, s, r, 1))
+
+            def slice_one(i):
+                return jax.tree.map(lambda x: x[i % K][None], sup_batch)
+
+        rows = []
+        params = self.params
+        rows.append((0, eval_fn(params, self.state, sup_batch, qry_batch,
+                                None)))
+        snapshots = [(0, params)]
+        done = 0
+        for target in sorted(s for s in saving_steps if s <= max_steps):
+            n = target - done
+            if n <= 0:
+                continue
+            if one_shot:
+                for k in range(done, target):
+                    params = single_fn(params, self.state, slice_one(k),
+                                       self.next_rng())
+            else:
+                chunk_fn = self._cached_jit(
+                    f"test_adapt_{n}",
+                    lambda p, st, s, r, n=n: adapt_chunk(p, st, s, r, n))
+                params = chunk_fn(params, self.state, sup_batch,
+                                  self.next_rng())
+            done = target
+            rows.append((target, eval_fn(params, self.state, sup_batch,
+                                         qry_batch, None)))
+            snapshots.append((target, params))
+        return rows, snapshots

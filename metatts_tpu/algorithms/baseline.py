@@ -23,12 +23,25 @@ class BaselineSystem(System):
         return params, new_state, opt_state, losses
 
     def train_step(self, batch):
-        """Host entry: one supervised step. Returns LossValues."""
-        fn = self._cached_jit("train", self._train_step,
-                              donate_argnums=(0, 1, 2))
+        """Host entry: one supervised step. Returns LossValues.
+
+        With enable_mesh() the flat batch axis shards P("dp") (plain data
+        parallelism — the reference trains baseline on 1 GPU but the DDP
+        surface covers it too)."""
+        jit_kwargs = dict(donate_argnums=(0, 1, 2))
+        if self.mesh is not None:
+            batch = self._shard_episode_batch(batch, what="batch_size")
+            jit_kwargs.update(
+                in_shardings=(self._rep, self._rep, None, self._ep,
+                              self._rep, None),
+                out_shardings=(self._rep, self._rep, None, self._rep))
+        fn = self._cached_jit("train", self._train_step, **jit_kwargs)
+        rng = self.next_rng()
+        if self.mesh is not None:
+            rng = jax.device_put(rng, self._rep)
         self.params, self.state, self.opt_state, losses = fn(
             self.params, self.state, self.opt_state, batch,
-            self.next_rng(), self.global_step)
+            rng, self.global_step)
         self.global_step += 1
         return losses
 

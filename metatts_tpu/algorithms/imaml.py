@@ -151,11 +151,24 @@ class IMAMLSystem(System):
         return params, opt_state, mean_losses
 
     def train_step(self, sup_batch, qry_batch):
-        fn = self._cached_jit("imaml_train", self._train_step,
-                              donate_argnums=(0, 2))
+        """One iMAML outer step; with enable_mesh() the episode axis shards
+        P("dp") so the hypergrad mean psums over ICI (the reference
+        all-reduced each hypergrad by hand, ``imaml.py:132``)."""
+        jit_kwargs = dict(donate_argnums=(0, 2))
+        if self.mesh is not None:
+            sup_batch = self._shard_episode_batch(sup_batch)
+            qry_batch = self._shard_episode_batch(qry_batch)
+            jit_kwargs.update(
+                in_shardings=(self._rep, self._rep, None, self._ep,
+                              self._ep, self._rep),
+                out_shardings=(self._rep, None, self._rep))
+        fn = self._cached_jit("imaml_train", self._train_step, **jit_kwargs)
+        rng = self.next_rng()
+        if self.mesh is not None:
+            rng = jax.device_put(rng, self._rep)
         self.params, self.opt_state, losses = fn(
             self.params, self.state, self.opt_state, sup_batch, qry_batch,
-            self.next_rng())
+            rng)
         self.global_step += 1
         return losses
 

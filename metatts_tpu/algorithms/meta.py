@@ -56,13 +56,30 @@ class MetaSystem(System):
         return params, opt_state, mean_losses
 
     def train_step(self, sup_batch, qry_batch, phn_ref=None):
-        """Host entry: one meta step over an episode-batched support/query."""
+        """Host entry: one meta step over an episode-batched support/query.
+
+        With enable_mesh() active (the CLI default on >1 device) the episode
+        axis is sharded P("dp") and params/opt-state stay replicated — the
+        grad mean compiles to an ICI psum, replacing the reference's DDP
+        all-reduce."""
         name = "meta_train_lang" if phn_ref is not None else "meta_train"
-        fn = self._cached_jit(name, self._meta_train_step,
-                              donate_argnums=(0, 2))
+        jit_kwargs = dict(donate_argnums=(0, 2))
+        if self.mesh is not None:
+            sup_batch = self._shard_episode_batch(sup_batch)
+            qry_batch = self._shard_episode_batch(qry_batch)
+            phn_ref = self._shard_episode_batch(phn_ref)
+            jit_kwargs.update(
+                in_shardings=(self._rep, self._rep, None, self._ep,
+                              self._ep, self._rep,
+                              self._ep if phn_ref is not None else None),
+                out_shardings=(self._rep, None, self._rep))
+        fn = self._cached_jit(name, self._meta_train_step, **jit_kwargs)
+        rng = self.next_rng()
+        if self.mesh is not None:
+            rng = jax.device_put(rng, self._rep)
         self.params, self.opt_state, losses = fn(
             self.params, self.state, self.opt_state, sup_batch, qry_batch,
-            self.next_rng(), phn_ref)
+            rng, phn_ref)
         self.global_step += 1
         return losses
 
@@ -75,70 +92,5 @@ class MetaSystem(System):
         return fn(self.params, self.state, sup_batch, qry_batch,
                   self.next_rng())
 
-    # --------------------------------------------------- test adaptation
-
-    def test_adapt(self, sup_batch, qry_batch, ft_steps=None):
-        """Test-time long adaptation with snapshot evaluation (reference
-        ``base_adaptor.py:136-189``): first-order SGD on support in chunks,
-        recording query recon loss at each snapshot step.
-
-        Returns list of (step, LossValues) host-side.
-        """
-        test_cfg = self.acfg["adapt"]["test"]
-        lr = test_cfg["lr"]
-        saving_steps = ft_steps or test_cfg["saving_steps"]
-        max_steps = test_cfg["steps"]
-
-        def adapt_chunk(params, state, sup, rng, n):
-            # eval-mode forward (no dropout) + first-order SGD, matching the
-            # reference test loop (model.eval() + first_order adapt_)
-            return self.adaptor.adapt(params, state, sup, steps=n, lr=lr,
-                                      first_order=True, train=False, rng=None)
-
-        def qry_eval(params, state, sup, qry, rng):
-            qry_c = qry._replace(speaker_args=sup.speaker_args[:1].repeat(
-                qry.texts.shape[0], axis=0)
-                if not isinstance(sup.speaker_args, tuple)
-                else sup.speaker_args)
-            out, _ = self.adaptor.forward(params, state, qry_c, train=False,
-                                          rng=None, average_spk_emb=True)
-            return self.adaptor.loss(qry_c, out)
-
-        eval_fn = self._cached_jit("test_eval", qry_eval)
-
-        one_shot = test_cfg.get("1-shot", False)
-        if one_shot:
-            # reference base_adaptor.py:139-147: each adaptation step uses a
-            # single support utterance, cycling through the support set
-            import jax as _jax
-            K = sup_batch.texts.shape[0]
-            single_fn = self._cached_jit(
-                "test_adapt_1shot",
-                lambda p, st, s, r: adapt_chunk(p, st, s, r, 1))
-
-            def slice_one(i):
-                return _jax.tree.map(lambda x: x[i % K][None], sup_batch)
-
-        results = []
-        params = self.params
-        results.append((0, eval_fn(params, self.state, sup_batch, qry_batch,
-                                   None)))
-        done = 0
-        for target in sorted(s for s in saving_steps if s <= max_steps):
-            n = target - done
-            if n <= 0:
-                continue
-            if one_shot:
-                for k in range(done, target):
-                    params = single_fn(params, self.state, slice_one(k),
-                                       self.next_rng())
-            else:
-                chunk_fn = self._cached_jit(
-                    f"test_adapt_{n}",
-                    lambda p, st, s, r, n=n: adapt_chunk(p, st, s, r, n))
-                params = chunk_fn(params, self.state, sup_batch,
-                                  self.next_rng())
-            done = target
-            results.append((target, eval_fn(params, self.state, sup_batch,
-                                            qry_batch, None)))
-        return results, params
+    # test_adapt is shared by all systems on the base System class
+    # (reference shares BaseAdaptorSystem.test_step the same way).

@@ -66,6 +66,12 @@ MODEL_DEFAULTS = {
     "attention_scores_dtype": "bfloat16",  # (B,h,T,T) scores + softmax
     "max_src_len": 192,            # static text-length bucket cap
     "remat": False,                # jax.checkpoint FFT blocks (mem vs speed)
+    "layer_scan": False,           # lax.scan over stacked FFT-block layers:
+                                   # ~N_layers× smaller XLA program (compile
+                                   # time), identical math
+    "second_order_impl": "custom_hvp",  # custom-VJP inner SGD step (flash
+                                        # fwd + exact einsum HVP bwd) |
+                                        # "unrolled" plain autodiff
 }
 
 TRAIN_DEFAULTS = {

@@ -72,6 +72,16 @@ class BaseDataModule:
     def train_batches(self, batch_size, rng=None):
         rng = rng or np.random.RandomState(self.seed)
         n = len(self.train_set)
+        if n < batch_size:
+            # tiny corpora (dev smoke runs): sample with replacement instead
+            # of silently yielding nothing and spinning forever — the
+            # reference's EpisodicInfiniteWrapper also upsamples small sets
+            print(f"[data] dataset has {n} < batch_size={batch_size} "
+                  f"utterances; sampling with replacement")
+            while True:
+                idx = rng.randint(0, n, size=batch_size)
+                yield collate_batch([self.train_set[int(j)] for j in idx],
+                                    self.max_seq_len)
         while True:
             order = rng.permutation(n)
             for i in range(0, n - batch_size + 1, batch_size):
@@ -121,6 +131,8 @@ class MetaDataModule(BaselineDataModule):
         lang = self.acfg["adapt"]["type"] == "lang"
         while True:
             sup, qry = self.train_sampler.sample_meta_batch(meta_batch_size)
+            if lang:
+                sup, qry = self._lang_coverage_resplit(sup, qry)
             batch = collate_episode(sup, qry, self.max_seq_len)
             if lang:
                 import numpy as np
@@ -139,6 +151,27 @@ class MetaDataModule(BaselineDataModule):
                 yield batch + (phn_ref,)
             else:
                 yield batch
+
+    def _lang_coverage_resplit(self, sup, qry):
+        """Per-episode support/query reassignment so support covers every
+        query phoneme (reference LanguageTaskCollate.split_sup_qry,
+        ``collate.py:252-277``) — required because the episode's phoneme
+        table is generated from support representations only.  Episodes
+        where the constraint is infeasible keep their original split (the
+        sampler's draw is random; infeasibility is rare and transient)."""
+        from .lang_episodes import assign_support_query
+        new_sup, new_qry = [], []
+        for s_ep, q_ep in zip(sup, qry):
+            pool = list(s_ep) + list(q_ep)
+            try:
+                s_idx, q_idx = assign_support_query(
+                    pool, shots=len(s_ep), queries=len(q_ep))
+                new_sup.append([pool[i] for i in s_idx])
+                new_qry.append([pool[i] for i in q_idx])
+            except ValueError:
+                new_sup.append(list(s_ep))
+                new_qry.append(list(q_ep))
+        return new_sup, new_qry
 
 
 DATAMODULES = {

@@ -59,10 +59,56 @@ def episode_phoneme_representation(samples, d_feat=None):
     return out
 
 
+def assign_support_query(samples, shots, queries):
+    """Reference ``LanguageTaskCollate.split_sup_qry``
+    (``lightning/collate.py:252-277``): assign the episode's K+Q utterances
+    to support/query such that EVERY phoneme occurring in a query utterance
+    also occurs in at least one support utterance.
+
+    Why: the per-episode phoneme-embedding table is generated from the
+    SUPPORT set's SSL representations only (``calc_phn_repr``,
+    ``collate.py:280-300``); a query phoneme absent from support would get a
+    zero embedding row.  The reference walks the utterances in order and
+    sends one to the query set only if none of its phonemes is unique to it
+    within the remaining pool; otherwise it goes to support.
+
+    Returns (sup_idx, qry_idx) index lists into ``samples``.
+    Raises ValueError when the pool cannot satisfy (shots, queries) under
+    the coverage constraint (the reference asserts; callers may resample).
+    """
+    from collections import defaultdict
+    phn2idxs = defaultdict(list)
+    for idx, s in enumerate(samples):
+        for phn in set(int(p) for p in s["text"]):
+            phn2idxs[phn].append(idx)
+
+    sup_ids, qry_ids = [], []
+    for idx, s in enumerate(samples):
+        phn_set = set(int(p) for p in s["text"])
+        if len(qry_ids) < queries:
+            if any(len(phn2idxs[phn]) == 1 for phn in phn_set):
+                sup_ids.append(idx)
+            else:
+                qry_ids.append(idx)
+                for phn in phn_set:
+                    phn2idxs[phn].remove(idx)
+        else:
+            sup_ids.append(idx)
+    if len(sup_ids) != shots or len(qry_ids) != queries:
+        raise ValueError(
+            f"coverage split infeasible: got {len(sup_ids)} support / "
+            f"{len(qry_ids)} query for shots={shots} queries={queries} "
+            "(too many utterances carry unique phonemes); resample the "
+            "episode")
+    return sup_ids, qry_ids
+
+
 def split_disjoint_phonemes(sup_samples, qry_samples, rng=None):
-    """The reference splits episode phonemes so support and query use
-    disjoint phoneme subsets (``collate.py:199-300``): returns boolean
-    keep-masks over each sample's phone sequence."""
+    """Phoneme keep-mask utility: randomly assigns the phonemes shared
+    between support and query to one side and masks them out of the other,
+    yielding disjoint phoneme inventories.  NOT the reference episode rule —
+    that is ``assign_support_query`` (support must COVER query); this is an
+    ablation helper for measuring phoneme-overlap leakage."""
     rng = rng or np.random.RandomState(0)
     sup_phones = set()
     for s in sup_samples:

@@ -24,10 +24,29 @@ from ..preprocess.refmel import (preprocess_ref_wav, wav_to_mel40,
 
 
 class DVectorEncoder:
-    def __init__(self, weights_npz=None, seed=0):
+    def __init__(self, weights_npz=None, seed=0, require_weights=False):
+        """``calibrated`` is True only when pretrained GE2E weights loaded.
+
+        Random-init d-vectors keep the pipeline runnable but make absolute
+        EER meaningless; every consumer must surface that (the harness tags
+        report rows UNCALIBRATED). ``require_weights=True`` refuses instead.
+        """
         if weights_npz and os.path.exists(weights_npz):
             self.params = self._from_npz(weights_npz)
+            self.calibrated = True
         else:
+            if require_weights:
+                raise FileNotFoundError(
+                    f"GE2E weights npz not found at {weights_npz!r}; "
+                    "refusing to produce uncalibrated d-vectors "
+                    "(pass require_weights=False for pipeline tests)")
+            import warnings
+            warnings.warn(
+                "DVectorEncoder running with RANDOM-INIT weights: EER / "
+                "similarity numbers are UNCALIBRATED and not comparable to "
+                "the reference (export resemblyzer weights to npz to fix)",
+                stacklevel=2)
+            self.calibrated = False
             rng = jax.random.PRNGKey(seed)
             k1, k2 = jax.random.split(rng)
             self.params = {

@@ -63,8 +63,15 @@ class EvaluationHarness:
                 out[spk] = self._embed_files(files, f"{cache_key}_{spk}")
         return out
 
-    def embed_result_tree(self, result_dir, kind="synth", step="step_last"):
-        """Saver test tree -> dict task_id -> (N, 256)."""
+    def embed_result_tree(self, result_dir, kind="synth", step="step_last",
+                          ft_step=None):
+        """Saver test tree -> dict task_id -> (N, 256).
+
+        ``ft_step`` selects the synth wavs of one adaptation saving step
+        (files named ``*-FTstep_<n>.synth.wav``) so EER can be computed per
+        adaptation step from a single test run (reference eval matrix steps
+        {0, 5, 10, 20, 50, 100}); None takes every matching wav.
+        """
         root = os.path.join(result_dir, "audio", "Testing", step)
         out = {}
         if not os.path.isdir(root):
@@ -75,9 +82,14 @@ class EvaluationHarness:
                 continue
             files = sorted(os.path.join(d, f) for f in os.listdir(d)
                            if f.endswith(f".{kind}.wav"))
+            if ft_step is not None:
+                files = [f for f in files
+                         if f"-FTstep_{ft_step}." in os.path.basename(f)]
             if files:
-                out[task] = self._embed_files(
-                    files, f"res_{re.sub('[^A-Za-z0-9]', '_', task)}_{kind}")
+                key = f"res_{re.sub('[^A-Za-z0-9]', '_', task)}_{kind}"
+                if ft_step is not None:
+                    key += f"_ft{ft_step}"
+                out[task] = self._embed_files(files, key)
         return out
 
     # ----------------------------------------------------------- metrics
@@ -101,9 +113,18 @@ class EvaluationHarness:
         return sims
 
     def write_report(self, path, rows):
-        """rows: list of (label, value) -> eer.txt-style report."""
+        """rows: list of (label, value) -> eer.txt-style report.
+
+        When the encoder runs random-init (no pretrained GE2E weights),
+        every line is tagged UNCALIBRATED so the numbers can never be
+        mistaken for reference-comparable EER.
+        """
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tag = "" if self.encoder.calibrated else "UNCALIBRATED\t"
         with open(path, "w") as f:
+            if not self.encoder.calibrated:
+                f.write("# UNCALIBRATED: random-init d-vector encoder — "
+                        "values are not comparable to reference EER\n")
             for label, value in rows:
-                f.write(f"{label}\t{value}\n")
+                f.write(f"{tag}{label}\t{value}\n")
         return path

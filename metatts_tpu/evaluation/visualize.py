@@ -54,3 +54,62 @@ def similarity_density_plot(same_scores, diff_scores, out_path):
     fig.savefig(out_path, dpi=130)
     plt.close(fig)
     return out_path
+
+
+def det_plot(results_by_label, out_path):
+    """DET curve figure (reference ``evaluation/speaker_verification.py:20``
+    emits DET plots per mode): FPR vs FNR on normal-deviate-scaled axes.
+
+    ``results_by_label``: dict label -> result dict from
+    ``speaker_verification_eer`` (consumes its fpr/fnr arrays).
+    """
+    from scipy.stats import norm
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(5.5, 5.5))
+    ticks = np.array([0.001, 0.01, 0.05, 0.2, 0.5, 0.8, 0.95])
+    for label, res in sorted(results_by_label.items()):
+        fpr = np.clip(np.asarray(res["fpr"]), 1e-6, 1 - 1e-6)
+        fnr = np.clip(np.asarray(res["fnr"]), 1e-6, 1 - 1e-6)
+        ax.plot(norm.ppf(fpr), norm.ppf(fnr),
+                label=f"{label} (EER {res['eer']:.3f})")
+    ax.set_xticks(norm.ppf(ticks))
+    ax.set_xticklabels([f"{t:g}" for t in ticks], fontsize=7)
+    ax.set_yticks(norm.ppf(ticks))
+    ax.set_yticklabels([f"{t:g}" for t in ticks], fontsize=7)
+    ax.set_xlabel("false positive rate")
+    ax.set_ylabel("false negative rate")
+    ax.set_title("DET")
+    ax.grid(True, alpha=0.3)
+    ax.legend(fontsize=7)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=130)
+    plt.close(fig)
+    return out_path
+
+
+def roc_plot(results_by_label, out_path):
+    """ROC curve figure (reference speaker_verification.py ROC/AUC plots)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(5.5, 5.5))
+    for label, res in sorted(results_by_label.items()):
+        fpr = np.asarray(res["fpr"])
+        tpr = 1.0 - np.asarray(res["fnr"])
+        ax.plot(fpr, tpr, label=f"{label} (AUC {res['auc']:.3f})")
+    ax.plot([0, 1], [0, 1], "k--", alpha=0.4)
+    ax.set_xlabel("false positive rate")
+    ax.set_ylabel("true positive rate")
+    ax.set_title("ROC")
+    ax.grid(True, alpha=0.3)
+    ax.legend(fontsize=7)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=130)
+    plt.close(fig)
+    return out_path

@@ -101,14 +101,22 @@ def fastspeech2_apply(
     if max_mel_len is None:
         max_mel_len = (batch.mels.shape[1] if batch.mels is not None
                        else model_cfg["max_seq_len"])
-    max_mel_len = min(max_mel_len, model_cfg["max_seq_len"])
+    if train or teacher_forced:
+        # reference truncates over-long decoder inputs at train time
+        # (transformer/Models.py:154-162)
+        max_mel_len = min(max_mel_len, model_cfg["max_seq_len"])
+    # else: synthesis may request max_mel_len beyond max_seq_len — the
+    # sinusoid table below is generated at trace time for the full length
+    # (reference extends the PE table on the fly at inference,
+    # transformer/Models.py:82-87,145-153); static shapes are preserved
+    # because max_mel_len is a Python int.
 
     src_valid = get_mask_from_lengths(batch.src_lens, batch.texts.shape[1])
     mel_valid = (get_mask_from_lengths(batch.mel_lens, max_mel_len)
                  if batch.mel_lens is not None else None)
 
     pos_table = jnp.asarray(
-        sinusoid_table(model_cfg["max_seq_len"] + 1,
+        sinusoid_table(max(model_cfg["max_seq_len"], max_mel_len) + 1,
                        model_cfg["transformer"]["encoder_hidden"]))
 
     r_enc, r_va, r_dec, r_post = (

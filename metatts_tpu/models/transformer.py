@@ -83,8 +83,11 @@ def mha(p, x, key_valid, n_head, *, cdtype, drop_rate, train, rng,
             # softmax max-subtraction keeps bf16 scores numerically safe;
             # the (B,h,T,T) residuals halve when scores_dtype is bfloat16
             attn = jax.nn.softmax(scores, axis=-1)
+            # use the parameter v_, not the closed-over v: a captured array
+            # would be a residual that bypasses the nothing_saveable remat
+            # policy below (and would silently ignore a different caller arg)
             return jnp.einsum("bhqk,bkhd->bqhd", attn.astype(cdtype),
-                              v.astype(cdtype),
+                              v_.astype(cdtype),
                               preferred_element_type=jnp.float32)
 
         if attn_impl == "einsum_remat":
@@ -174,10 +177,7 @@ def encoder_apply(p, texts, src_valid, cfg, *, train, rng, pos_table):
                       cfg.get("remat", False), resolve_attn_impl(cfg),
                       jnp.dtype(cfg.get("attention_scores_dtype",
                                         "float32")), adtype)
-    for i, lp in enumerate(p["layers"]):
-        lrng = jax.random.fold_in(rng, i) if rng is not None else None
-        x = blk(lp, x, src_valid, lrng)
-    return x
+    return _run_layers(p["layers"], blk, x, src_valid, rng, cfg)
 
 
 def _use_fused_infer(cfg, train, d_model, n_head):
@@ -215,6 +215,39 @@ def _make_block(n_head, cdtype, drop_rate, train, remat, attn_impl,
     return jax.checkpoint(run) if remat else run
 
 
+def _run_layers(layers, blk, x, valid, rng, cfg):
+    """Apply the FFT-block stack.
+
+    ``model.layer_scan: true`` stacks the (structurally identical) per-layer
+    param pytrees and runs ONE ``lax.scan`` over them instead of unrolling
+    N layers into the XLA program — the program is ~N× smaller, which cuts
+    compile time correspondingly (the second-order meta step at the full
+    base config is otherwise a pathological CPU/LLVM compile).  Math is
+    identical; per-layer dropout rngs are pre-split and scanned alongside.
+    """
+    if not cfg.get("layer_scan") or len(layers) == 1:
+        for i, lp in enumerate(layers):
+            lrng = jax.random.fold_in(rng, i) if rng is not None else None
+            x = blk(lp, x, valid, lrng)
+        return x
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    if rng is not None:
+        rngs = jnp.stack([jax.random.fold_in(rng, i)
+                          for i in range(len(layers))])
+
+        def body(h, xs):
+            lp, lrng = xs
+            return blk(lp, h, valid, lrng), None
+
+        x, _ = jax.lax.scan(body, x, (stacked, rngs))
+    else:
+        def body(h, lp):
+            return blk(lp, h, valid, None), None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+    return x
+
+
 # --------------------------------------------------------------- decoder
 
 def decoder_init(rng, cfg):
@@ -247,10 +280,7 @@ def decoder_apply(p, x, mel_valid, cfg, *, train, rng, pos_table):
                       cfg.get("remat", False), resolve_attn_impl(cfg),
                       jnp.dtype(cfg.get("attention_scores_dtype",
                                         "float32")), adtype)
-    for i, lp in enumerate(p["layers"]):
-        lrng = jax.random.fold_in(rng, i) if rng is not None else None
-        x = blk(lp, x, mel_valid, lrng)
-    return x
+    return _run_layers(p["layers"], blk, x, mel_valid, rng, cfg)
 
 
 # --------------------------------------------------------------- postnet

@@ -67,23 +67,72 @@ def melgan_init(rng, n_mels=80, ngf=MELGAN_NGF, ratios=MELGAN_RATIOS):
     return params
 
 
+def _reflect_conv(p, x, cdtype, dilation=1):
+    """Conv1d with REFLECTION padding — the official descriptinc generator
+    wraps its k>1 convs in nn.ReflectionPad1d; zero (SAME) padding would
+    break bit-parity with released weights at the sequence edges."""
+    K = p["w"].shape[-1]
+    pad = dilation * (K - 1) // 2
+    if pad == 0:
+        return nn.conv1d(p, x, cdtype)
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+    y = nn.conv1d(p, xp, cdtype, dilation=dilation)
+    return y[:, pad:-pad]
+
+
 def melgan_apply(params, mel, cdtype=jnp.float32):
     """mel: (B, T, n_mels) natural-log mel -> (B, T*256) wav in [-1,1]."""
     x = mel / math.log(10.0)  # reference log10 convention
-    x = nn.conv1d(params["conv_in"], x, cdtype)
+    x = _reflect_conv(params["conv_in"], x, cdtype)
     for up, r in zip(params["ups"], MELGAN_RATIOS):
         x = _leaky(x)
         x = nn.conv_transpose1d(up["convt"], x, stride=r, cdtype=cdtype,
                                 padding=r // 2 + r % 2)
         for blk, d in zip(up["blocks"], MELGAN_DILATIONS):
             h = _leaky(x)
-            h = nn.conv1d(blk["conv_d"], h, cdtype, dilation=d)
+            h = _reflect_conv(blk["conv_d"], h, cdtype, dilation=d)
             h = _leaky(h)
             h = nn.conv1d(blk["conv_1"], h, cdtype)
             x = nn.conv1d(blk["shortcut"], x, cdtype) + h
     x = _leaky(x)
-    x = nn.conv1d(params["conv_out"], x, cdtype)
+    x = _reflect_conv(params["conv_out"], x, cdtype)
     return jnp.tanh(x)[..., 0]
+
+
+def melgan_params_from_npz(w):
+    """Map the descriptinc melgan-neurips generator state dict (official
+    ``model.<idx>`` nn.Sequential layout; weight-norm already folded by
+    ``tools/convert_torch_weights.py``) into the ``melgan_init`` pytree.
+
+    Sequential indices in the official Generator: 0 ReflectionPad,
+    1 conv_in(80->512,k7); then per upsample ratio [LeakyReLU,
+    ConvTranspose1d, ResnetBlock x3] (5 entries); finally LeakyReLU,
+    ReflectionPad, conv_out(32->1,k7), Tanh.  ResnetBlock children:
+    ``block.2`` (dilated k3), ``block.4`` (k1), ``shortcut`` (k1).
+    Conv kernels keep torch layout (OIH; transposed convs IOH) — identical
+    to ``nn.conv1d_init`` conventions, so no transposition.
+    """
+    def conv(base):
+        p = {"w": jnp.asarray(w[f"{base}.weight"])}
+        if f"{base}.bias" in w:
+            p["b"] = jnp.asarray(w[f"{base}.bias"])
+        return p
+
+    params = {"conv_in": conv("model.1")}
+    ups = []
+    idx = 2
+    for _ in MELGAN_RATIOS:
+        blocks = []
+        for j in range(len(MELGAN_DILATIONS)):
+            b = idx + 2 + j
+            blocks.append({"conv_d": conv(f"model.{b}.block.2"),
+                           "conv_1": conv(f"model.{b}.block.4"),
+                           "shortcut": conv(f"model.{b}.shortcut")})
+        ups.append({"convt": conv(f"model.{idx + 1}"), "blocks": blocks})
+        idx += 2 + len(MELGAN_DILATIONS)
+    params["ups"] = ups
+    params["conv_out"] = conv(f"model.{idx + 2}")
+    return params
 
 
 # ---------------------------------------------------------------- HiFi-GAN
@@ -121,28 +170,67 @@ def hifigan_init(rng, n_mels=80, upsample_initial_channel=512):
     return params
 
 
+HIFIGAN_LRELU = 0.1  # official jik876 LRELU_SLOPE (MelGAN uses 0.2)
+
+
 def hifigan_apply(params, mel, cdtype=jnp.float32):
-    """mel: (B, T, n_mels) natural-log mel -> (B, T*256) wav in [-1,1]."""
+    """mel: (B, T, n_mels) natural-log mel -> (B, T*256) wav in [-1,1].
+
+    Slope conventions follow the official generator exactly: 0.1 inside the
+    upsample/MRF stack, torch's default 0.01 on the final activation before
+    conv_post (``F.leaky_relu(x)`` with no slope argument in models.py).
+    """
     x = nn.conv1d(params["conv_pre"], mel, cdtype)
     for up, r, k in zip(params["ups"], HIFIGAN_UPSAMPLE_RATES,
                         HIFIGAN_UPSAMPLE_KERNELS):
-        x = _leaky(x)
+        x = jax.nn.leaky_relu(x, HIFIGAN_LRELU)
         x = nn.conv_transpose1d(up["convt"], x, stride=r, cdtype=cdtype,
                                 padding=(k - r) // 2)
         acc = None
         for rb, rds in zip(up["res"], HIFIGAN_RESBLOCK_DILATIONS):
             h = x
             for c1, c2, d in zip(rb["convs1"], rb["convs2"], rds):
-                y = _leaky(h)
+                y = jax.nn.leaky_relu(h, HIFIGAN_LRELU)
                 y = nn.conv1d(c1, y, cdtype, dilation=d)
-                y = _leaky(y)
+                y = jax.nn.leaky_relu(y, HIFIGAN_LRELU)
                 y = nn.conv1d(c2, y, cdtype)
                 h = h + y
             acc = h if acc is None else acc + h
         x = acc / len(up["res"])
-    x = _leaky(x)
+    x = jax.nn.leaky_relu(x, 0.01)
     x = nn.conv1d(params["conv_post"], x, cdtype)
     return jnp.tanh(x)[..., 0]
+
+
+def hifigan_params_from_npz(w):
+    """Map the jik876 HiFi-GAN v1 generator state dict (official key layout
+    ``conv_pre / ups.<i> / resblocks.<3i+j>.convs{1,2}.<m> / conv_post``;
+    weight-norm folded by the converter) into the ``hifigan_init`` pytree.
+    HiFi-GAN uses zero padding, matching ``nn.conv1d`` SAME semantics."""
+    def conv(base):
+        p = {"w": jnp.asarray(w[f"{base}.weight"])}
+        if f"{base}.bias" in w:
+            p["b"] = jnp.asarray(w[f"{base}.bias"])
+        return p
+
+    n_res = len(HIFIGAN_RESBLOCK_KERNELS)
+    params = {"conv_pre": conv("conv_pre")}
+    ups = []
+    for i in range(len(HIFIGAN_UPSAMPLE_RATES)):
+        res = []
+        for j in range(n_res):
+            rb = i * n_res + j
+            n_d = len(HIFIGAN_RESBLOCK_DILATIONS[j])
+            res.append({
+                "convs1": [conv(f"resblocks.{rb}.convs1.{m}")
+                           for m in range(n_d)],
+                "convs2": [conv(f"resblocks.{rb}.convs2.{m}")
+                           for m in range(n_d)],
+            })
+        ups.append({"convt": conv(f"ups.{i}"), "res": res})
+    params["ups"] = ups
+    params["conv_post"] = conv("conv_post")
+    return params
 
 
 # ----------------------------------------------------------------- wrapper
@@ -151,17 +239,37 @@ class Vocoder:
     """Host wrapper mirroring ``LightningMelGAN.infer``
     (``lightning/utils.py:16-30``)."""
 
-    def __init__(self, model_cfg, rng=None, n_mels=80):
+    def __init__(self, model_cfg, rng=None, n_mels=80, weights_npz=None):
+        """``weights_npz``: converted official generator weights
+        (``tools/convert_torch_weights.py``); defaults to
+        ``model_cfg["vocoder"]["weights_npz"]``.  Without weights the
+        generator is random-init — fine for plumbing, meaningless audio —
+        and ``self.pretrained`` records which."""
+        import os
         self.kind = model_cfg["vocoder"]["model"]
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        weights_npz = weights_npz or model_cfg["vocoder"].get("weights_npz")
+        loaded = None
+        if weights_npz and os.path.exists(weights_npz):
+            loaded = np.load(weights_npz)
+        self.pretrained = loaded is not None
         if self.kind == "MelGAN":
-            self.params = melgan_init(rng, n_mels=n_mels)
+            self.params = (melgan_params_from_npz(loaded) if loaded
+                           else melgan_init(rng, n_mels=n_mels))
             self._apply = jax.jit(melgan_apply)
         elif self.kind == "HiFi-GAN":
-            self.params = hifigan_init(rng, n_mels=n_mels)
+            self.params = (hifigan_params_from_npz(loaded) if loaded
+                           else hifigan_init(rng, n_mels=n_mels))
             self._apply = jax.jit(hifigan_apply)
         else:
             raise ValueError(f"unknown vocoder {self.kind!r}")
+        if not self.pretrained:
+            import warnings
+            warnings.warn(
+                f"{self.kind} vocoder running with RANDOM-INIT weights — "
+                "synthesized audio is structurally valid but not speech; "
+                "set model.vocoder.weights_npz to converted official "
+                "weights (tools/convert_torch_weights.py)", stacklevel=2)
 
     def infer(self, mels, max_wav_value=32768.0, lengths=None):
         """mels (B, T, n_mels) -> list of int16 numpy wavs."""

@@ -63,6 +63,32 @@ class Trainer:
                 print(f"[ckpt surgery] {r}")
 
         meta = sys.algorithm_type in ("meta", "imaml")
+
+        # Distribution (reference default recipe IS distributed:
+        # main.py:30-38 gpus=-1 strategy='ddp'): on >1 visible device, shard
+        # the episode/batch axis over a dp mesh unless train.distributed: off.
+        # Mesh size = gcd(devices, batch) so the shard is always exact; the
+        # reference recipe (1 episode/GPU, meta_batch_size == GPU count) uses
+        # every chip.
+        if self.tcfg.get("distributed", "auto") != "off":
+            import math
+            import jax
+            n_dev = len(jax.devices())
+            E = (sys.acfg["adapt"]["train"]["meta_batch_size"] if meta
+                 else self.tcfg["optimizer"]["batch_size"])
+            n_use = math.gcd(n_dev, int(E))
+            mesh = sys.enable_mesh(n_use) if n_use > 1 else None
+            if mesh is not None:
+                print(f"[mesh] dp mesh over {mesh.devices.size} "
+                      f"{jax.devices()[0].platform} devices; "
+                      f"{'episode' if meta else 'batch'} axis sharded "
+                      f"P('dp'), params replicated")
+            if 1 < n_use < n_dev:
+                print(f"[mesh] note: batch {E} uses {n_use} of {n_dev} "
+                      f"devices; set "
+                      f"{'meta_batch_size' if meta else 'batch_size'} to a "
+                      f"multiple of {n_dev} to use the full slice")
+
         if meta:
             mb = sys.acfg["adapt"]["train"]["meta_batch_size"]
             gen = self.dm.train_episode_batches(mb)
@@ -162,20 +188,23 @@ class Trainer:
             task_id = f"test_{i:03d}"
             sup_b, qry_b, _, qry_meta = collate_episode([sup], [qry])
             sup_e, qry_e = _first_episode(sup_b), _first_episode(qry_b)
-            rows, adapted = self.system.test_adapt(sup_e, qry_e)
+            rows, snapshots = self.system.test_adapt(sup_e, qry_e)
             self.saver.log_task_csv("Testing", task_id, rows,
                                     ckpt_step=ckpt_step)
             if self.vocoder is not None:
-                self._save_test_audio(task_id, adapted, sup_e, qry_e,
+                self._save_test_audio(task_id, snapshots, sup_e, qry_e,
                                       qry_meta[0], ckpt_step)
             results[task_id] = rows
         return results
 
-    def _save_test_audio(self, task_id, adapted_params, sup, qry, qry_meta,
+    def _save_test_audio(self, task_id, snapshots, sup, qry, qry_meta,
                          ckpt_step):
-        """Per-task recon + synth wavs after the final adaptation step
-        (reference Saver test tree: ``*.recon.wav`` teacher-forced,
-        ``*.synth.wav`` fully predicted, ``saver.py:130-194``)."""
+        """Per-task test audio at EVERY adaptation saving step (reference
+        Saver test tree, ``saver.py:130-194``): ``*.recon.wav`` teacher-forced
+        from the un-adapted (step 0) params, and
+        ``*.step_<ckpt>-FTstep_<n>.synth.wav`` fully predicted from each
+        snapshot — the per-step synth wavs the EER-vs-adaptation-steps
+        evaluation is computed from."""
         import jax
         import numpy as np
         hop = self.system.pcfg["preprocessing"]["stft"]["hop_length"]
@@ -183,9 +212,10 @@ class Trainer:
             lambda x: x, sup.speaker_args)
             if isinstance(sup.speaker_args, tuple) else
             sup.speaker_args[:1].repeat(qry.texts.shape[0], axis=0))
-        for tag, teacher in (("recon", True), ("synth", False)):
+
+        def vocode_and_save(params, tag, teacher):
             out, _ = self.system.adaptor.forward(
-                adapted_params, self.system.state, qry_c, train=False,
+                params, self.system.state, qry_c, train=False,
                 teacher_forced=teacher, average_spk_emb=True)
             mel_lens = np.asarray(out.mel_lens)
             wavs = self.vocoder.infer(out.postnet_mel,
@@ -197,6 +227,14 @@ class Trainer:
                 path = self.saver.save_audio("Testing", task_id, name, w,
                                              ckpt_step=ckpt_step)
                 self.logger.log_artifact(0, "audio", path)
+
+        # teacher-forced reconstruction once, from the un-adapted params
+        # (reference recon_samples at ft_step == 0, saver.py:158-165)
+        vocode_and_save(snapshots[0][1], "recon", teacher=True)
+        for ft_step, params in snapshots:
+            vocode_and_save(params,
+                            f"step_{ckpt_step}-FTstep_{ft_step}.synth",
+                            teacher=False)
 
     # --------------------------------------------------- in-loop synthesis
 

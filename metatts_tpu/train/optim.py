@@ -12,12 +12,18 @@ import optax
 
 def noam_schedule(d_model, warmup, anneal_steps, anneal_rate):
     init_lr = float(np.power(d_model, -0.5))
-    anneal_steps = jnp.asarray(anneal_steps or [0], jnp.int32)
+    # anneal_steps is static config; an empty list means "never anneal" —
+    # not "anneal from step 0" (a `or [0]` fallback here would multiply the
+    # lr by anneal_rate immediately, since step >= 0 is always true).
+    has_anneals = len(anneal_steps or []) > 0
+    anneal_arr = jnp.asarray(anneal_steps if has_anneals else [0], jnp.int32)
 
     def lr(step):
         s = jnp.maximum(step, 1).astype(jnp.float32)
         base = init_lr * jnp.minimum(s ** -0.5, s * float(warmup) ** -1.5)
-        n_anneals = jnp.sum(step >= anneal_steps)
+        if not has_anneals:
+            return base
+        n_anneals = jnp.sum(step >= anneal_arr)
         return base * (anneal_rate ** n_anneals.astype(jnp.float32))
 
     return lr

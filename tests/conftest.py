@@ -7,6 +7,13 @@ jax.config before any backend is initialized.
 """
 
 import os
+import sys
+
+# Clean-checkout support: make `pytest tests/` work without an editable
+# install or a manual PYTHONPATH (the package lives at the repo root).
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:

@@ -95,3 +95,26 @@ def test_noam_schedule_shape():
     assert v10k < v4k                     # inverse-sqrt decays
     v300k, v300k1 = (float(lr(jnp.asarray(s))) for s in (299999, 300001))
     np.testing.assert_allclose(v300k1 / v300k, 0.3, rtol=0.01)
+
+
+def test_noam_schedule_empty_anneal_steps():
+    """anneal_steps: [] must mean 'never anneal', not 'anneal from step 0'."""
+    plain = noam_schedule(256, 4000, [], 0.3)
+    never = noam_schedule(256, 4000, [10 ** 9], 0.3)
+    for s in (1, 4000, 50000):
+        np.testing.assert_allclose(float(plain(jnp.asarray(s))),
+                                   float(never(jnp.asarray(s))), rtol=1e-6)
+
+
+def test_det_roc_plots(tmp_path):
+    """DET/ROC figures consume speaker_verification_eer's fpr/fnr arrays
+    (reference evaluation/speaker_verification.py:20)."""
+    from metatts_tpu.evaluation.verification import speaker_verification_eer
+    from metatts_tpu.evaluation.visualize import det_plot, roc_plot
+    rng = np.random.RandomState(0)
+    res = speaker_verification_eer(rng.rand(50) * 0.5 + 0.5,
+                                   rng.rand(80) * 0.6)
+    d = det_plot({"real": res}, str(tmp_path / "det.png"))
+    r = roc_plot({"real": res}, str(tmp_path / "roc.png"))
+    import os
+    assert os.path.getsize(d) > 0 and os.path.getsize(r) > 0

@@ -115,3 +115,69 @@ def test_split_batch():
     s = split_batch(b, [2, 0])
     assert s.texts.shape == (2, 3)
     assert int(s.speaker_args[0]) == 2 and int(s.speaker_args[1]) == 0
+
+
+def test_assign_support_query_coverage():
+    """Reference LanguageTaskCollate.split_sup_qry invariant
+    (collate.py:252-277): every phoneme in a query utterance must also occur
+    in a support utterance — the episode phoneme table is generated from
+    support representations only."""
+    from metatts_tpu.data.lang_episodes import assign_support_query
+    pool = [
+        {"text": np.array([1, 2, 3])},    # has 1 (unique) -> support
+        {"text": np.array([2, 3, 4])},
+        {"text": np.array([3, 4, 2])},
+        {"text": np.array([4, 2, 5])},    # has 5 (unique) -> support
+    ]
+    sup_idx, qry_idx = assign_support_query(pool, shots=2, queries=2)
+    assert sorted(sup_idx + qry_idx) == [0, 1, 2, 3]
+    sup_phones = set()
+    for i in sup_idx:
+        sup_phones.update(int(p) for p in pool[i]["text"])
+    for i in qry_idx:
+        assert set(int(p) for p in pool[i]["text"]) <= sup_phones, \
+            "query utterance carries a phoneme absent from support"
+
+
+def test_lang_episode_batches_apply_coverage_split():
+    """The datamodule's lang episode pipeline must re-split sup/qry with the
+    coverage rule and build phn_ref from the NEW support set: every phoneme
+    appearing in query texts has a nonzero phn_ref row."""
+    from metatts_tpu.data.datamodule import MetaDataModule
+
+    class _Sampler:
+        def __init__(self):
+            self.rng = np.random.RandomState(0)
+
+        def _sample(self, phones):
+            L = len(phones)
+            return {
+                "id": "u", "speaker": 0,
+                "text": np.array(phones, np.int32), "raw_text": "x",
+                "mel": self.rng.randn(3 * L, 8).astype(np.float32),
+                "pitch": self.rng.randn(L).astype(np.float32),
+                "energy": self.rng.randn(L).astype(np.float32),
+                "duration": np.full(L, 3, np.int32),
+                "representation": self.rng.randn(L, 8).astype(np.float32),
+            }
+
+        def sample_meta_batch(self, mb):
+            # original split puts the unique-phoneme utterance (1,2,3) in
+            # QUERY — the coverage rule must move it to support
+            sup = [[self._sample([2, 3, 4]), self._sample([3, 4, 2])]]
+            qry = [[self._sample([1, 2, 3]), self._sample([4, 2, 3])]]
+            return sup, qry
+
+    dm = MetaDataModule.__new__(MetaDataModule)
+    dm.acfg = {"adapt": {"type": "lang",
+                         "phoneme_emb": {"type": "codebook"}}}
+    dm.max_seq_len = 64
+    dm.train_sampler = _Sampler()
+    item = next(dm.train_episode_batches(1))
+    sup_b, qry_b, phn_ref = item[0], item[1], item[4]
+    qry_phones = set(np.asarray(qry_b.texts).ravel().tolist()) - {0}
+    sup_phones = set(np.asarray(sup_b.texts).ravel().tolist()) - {0}
+    assert qry_phones <= sup_phones
+    ref = np.asarray(phn_ref[0])
+    for p in qry_phones:
+        assert np.abs(ref[p]).sum() > 0, f"zero phn_ref row for phoneme {p}"

@@ -142,3 +142,81 @@ def test_bf16_activation_stream_parity_and_second_order():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.isfinite(x).all()) for x in leaves)
     assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
+
+
+def test_einsum_remat_saves_no_score_residuals():
+    """The nothing_saveable remat policy on attn_core must actually bound
+    residual memory: nothing quadratic in T (the (B, h, T, T) scores /
+    probabilities) may be saved for the backward pass, and no input may leak
+    in as a closed-over constant that bypasses the policy."""
+    try:
+        from jax.ad_checkpoint import saved_residuals
+    except ImportError:   # public alias absent in this jax version
+        from jax._src.ad_checkpoint import saved_residuals
+    from metatts_tpu.models.transformer import mha, mha_init
+
+    B, T, D, H = 2, 32, 16, 2
+    params = mha_init(jax.random.PRNGKey(0), D, H, D // H, D // H)
+    x = jnp.asarray(np.random.RandomState(0).randn(B, T, D), jnp.float32)
+    valid = jnp.ones((B, T), bool)
+
+    def f(params, x, valid):
+        return mha(params, x, valid, H, cdtype=jnp.float32, drop_rate=0.0,
+                   train=False, rng=None, attn_impl="einsum_remat").sum()
+
+    quadratic = 0
+    for val, src in saved_residuals(f, params, x, valid):
+        if hasattr(val, "shape") and val.shape.count(T) >= 2:
+            quadratic += 1
+        assert "from a constant" not in str(src), (
+            f"closed-over residual bypasses remat policy: {src}")
+    assert quadratic == 0, "attention scores saved despite nothing_saveable"
+
+
+def test_synthesis_beyond_max_seq_len(setup):
+    """Synthesis past model max_seq_len must extend the positional table on
+    the fly (reference transformer/Models.py:82-87,145-153) instead of
+    silently truncating."""
+    mcfg, pcfg, acfg, params, state = setup
+    batch = synth_batch(np.random.RandomState(11))
+    batch = batch._replace(mels=None, mel_lens=None, p_targets=None,
+                           e_targets=None, d_targets=None)
+    want = mcfg["max_seq_len"] + 32
+    out, _ = fastspeech2_apply(params, state, batch, mcfg, pcfg, acfg,
+                               train=False, teacher_forced=False,
+                               max_mel_len=want)
+    assert out.postnet_mel.shape[1] == want
+    assert bool(jnp.isfinite(out.postnet_mel).all())
+
+
+def test_layer_scan_matches_unrolled():
+    """model.layer_scan (lax.scan over stacked FFT-block layers) must be
+    bit-identical to the unrolled loop — same per-layer dropout rng folding,
+    same math — in both eval and train mode, and under jax.grad."""
+    mcfg = tiny_model_cfg()
+    mcfg["transformer"].update(encoder_layer=2, decoder_layer=3)
+    pcfg, acfg = tiny_preprocess_cfg(), algorithm_cfg("meta")
+    params, state = fastspeech2_init(jax.random.PRNGKey(7), pcfg, mcfg,
+                                     acfg, STATS, n_speakers=4)
+    batch = synth_batch(np.random.RandomState(13))
+    scan_cfg = {**mcfg, "layer_scan": True}
+    rng = jax.random.PRNGKey(5)
+
+    for train, r in ((False, None), (True, rng)):
+        o1, _ = fastspeech2_apply(params, state, batch, mcfg, pcfg, acfg,
+                                  train=train, rng=r)
+        o2, _ = fastspeech2_apply(params, state, batch, scan_cfg, pcfg,
+                                  acfg, train=train, rng=r)
+        np.testing.assert_allclose(np.asarray(o1.postnet_mel),
+                                   np.asarray(o2.postnet_mel), atol=1e-5)
+
+    def loss(p, cfg):
+        out, _ = fastspeech2_apply(p, state, batch, cfg, pcfg, acfg,
+                                   train=False)
+        return fastspeech2_loss(batch, out, pcfg).total
+
+    g1 = jax.grad(lambda p: loss(p, mcfg))(params)
+    g2 = jax.grad(lambda p: loss(p, scan_cfg))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -12,48 +12,52 @@ def test_mesh_has_8_virtual_devices():
     assert mesh.devices.shape == (8,)
 
 
-def test_dryrun_multichip_8():
-    """Full sharded meta step over the 8-virtual-device CPU mesh."""
+def test_dryrun_multichip_8_tiny():
+    """Sharded meta step over the 8-virtual-device CPU mesh, through the
+    production System.enable_mesh + train_step codepath (fast config; the
+    driver's dryrun runs the same function at the full base config)."""
     from __graft_entry__ import dryrun_multichip
-    dryrun_multichip(8)
+    dryrun_multichip(8, full=False)
+
+
+def _stack(seed, E=8):
+    from __graft_entry__ import _batch
+    r = np.random.RandomState(seed)
+    bs = [_batch(r, B=2, L=16, T=48, n_mels=8) for _ in range(E)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
 
 
 def test_sharded_matches_single_device():
-    """The psum-sharded meta step must produce the same losses as the
-    unsharded computation (SPMD correctness)."""
-    import copy
-    from __graft_entry__ import _configs, _batch
+    """The CLI-reachable mesh path (enable_mesh + train_step — what
+    Trainer.fit runs) must produce the same losses and updated params as the
+    identical single-device train_step (SPMD correctness)."""
+    from __graft_entry__ import _configs
     from metatts_tpu.algorithms.meta import MetaSystem
-    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pcfg, mcfg, tcfg, acfg = _configs(tiny=True)
+    sup, qry = _stack(0), _stack(1)
+
+    sys_single = MetaSystem(pcfg, mcfg, tcfg, acfg, n_speakers=8)
+    losses_single = sys_single.train_step(sup, qry)
+
+    sys_mesh = MetaSystem(pcfg, mcfg, tcfg, acfg, n_speakers=8)
+    assert sys_mesh.enable_mesh(8) is not None
+    losses_sharded = sys_mesh.train_step(sup, qry)
+
+    np.testing.assert_allclose(float(losses_single.total),
+                               float(losses_sharded.total), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(sys_single.params),
+                    jax.tree.leaves(sys_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_mesh_rejects_indivisible_batch():
+    from __graft_entry__ import _configs
+    from metatts_tpu.algorithms.meta import MetaSystem
 
     pcfg, mcfg, tcfg, acfg = _configs(tiny=True)
     sysm = MetaSystem(pcfg, mcfg, tcfg, acfg, n_speakers=8)
-    rng = np.random.RandomState(0)
-
-    def stack(seed):
-        r = np.random.RandomState(seed)
-        bs = [_batch(r, B=2, L=16, T=48, n_mels=8) for _ in range(8)]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
-
-    sup, qry = stack(0), stack(1)
-    key = jax.random.PRNGKey(3)
-
-    # single-device
-    _, _, losses_single = jax.jit(sysm._meta_train_step)(
-        sysm.params, sysm.state, sysm.opt_state, sup, qry, key)
-
-    # sharded over the mesh
-    mesh = make_mesh(8)
-    ep = NamedSharding(mesh, P("dp"))
-    rep = NamedSharding(mesh, P())
-    sup_s = shard_batch(sup, mesh)
-    qry_s = shard_batch(qry, mesh)
-    params = replicate(sysm.params, mesh)
-    step = jax.jit(sysm._meta_train_step,
-                   in_shardings=(rep, rep, None, ep, ep, rep),
-                   out_shardings=(rep, None, rep))
-    _, _, losses_sharded = step(params, replicate(sysm.state, mesh),
-                                sysm.opt_state, sup_s, qry_s,
-                                jax.device_put(key, rep))
-    np.testing.assert_allclose(float(losses_single.total),
-                               float(losses_sharded.total), rtol=2e-4)
+    sysm.enable_mesh(8)
+    sup, qry = _stack(0, E=6), _stack(1, E=6)   # 6 % 8 != 0
+    with pytest.raises(ValueError, match="multiple of the 8-device mesh"):
+        sysm.train_step(sup, qry)

@@ -108,12 +108,32 @@ def test_meta_validation_step(meta_sys):
 def test_test_adapt_snapshots(meta_sys):
     sys = meta_sys
     rng = np.random.RandomState(5)
-    results, adapted = sys.test_adapt(synth_batch(rng, B=2),
-                                      synth_batch(rng, B=1))
-    steps = [s for s, _ in results]
+    rows, snapshots = sys.test_adapt(synth_batch(rng, B=2),
+                                     synth_batch(rng, B=1))
+    steps = [s for s, _ in rows]
     assert steps == [0, 5, 10]
-    for _, l in results:
+    for _, l in rows:
         assert np.isfinite(float(l.total))
+    # one params snapshot per saving step (incl. step 0), and they differ —
+    # per-step synthesis (the EER-vs-steps input) depends on this
+    assert [s for s, _ in snapshots] == [0, 5, 10]
+    p0, p10 = snapshots[0][1], snapshots[-1][1]
+    delta = sum(float(jnp.abs(a - b).sum())
+                for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p10)))
+    assert delta > 0
+
+
+@pytest.mark.parametrize("alg", ["baseline", "imaml"])
+def test_test_adapt_shared_by_all_systems(alg, baseline_sys):
+    """Reference shares BaseAdaptorSystem.test_step across meta/imaml/
+    baseline (base_adaptor.py:136-189); test stage must not be meta-only."""
+    sys = baseline_sys if alg == "baseline" else make_system(alg)
+    rng = np.random.RandomState(8)
+    rows, snapshots = sys.test_adapt(synth_batch(rng, B=2),
+                                     synth_batch(rng, B=1))
+    assert [s for s, _ in rows] == [0, 5, 10]
+    assert all(np.isfinite(float(l.total)) for _, l in rows)
+    assert len(snapshots) == len(rows)
 
 
 def test_imaml_train_step():
@@ -132,3 +152,34 @@ def test_baseline_meta_style_validation(baseline_sys):
     rng = np.random.RandomState(7)
     losses = sys.validation_step(synth_batch(rng, B=2), synth_batch(rng, B=2))
     assert np.isfinite(float(losses.total))
+
+
+def test_custom_hvp_matches_unrolled_second_order(meta_sys):
+    """The custom-VJP inner step (flash-capable, no (T,T) residuals across
+    the scan) must produce the same outer gradients as plain autodiff
+    through the unrolled inner loop."""
+    sys = meta_sys
+    rng = np.random.RandomState(9)
+    sup, qry = synth_batch(rng, B=2), synth_batch(rng, B=2)
+    key = jax.random.PRNGKey(11)
+
+    def meta_grad(impl):
+        adaptor = Adaptor(sys.pcfg, {**sys.mcfg, "second_order_impl": impl},
+                          sys.acfg)
+
+        def loss(p):
+            l, _, _ = adaptor.meta_learn(p, sys.state, sup, qry,
+                                         steps=3, lr=0.01, train=True,
+                                         rng=key)
+            return l.total
+        return jax.jit(jax.grad(loss))(sys.params)
+
+    g_hvp = meta_grad("custom_hvp")
+    g_unr = meta_grad("unrolled")
+    # identical tree structure -> aligned iteration order
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_hvp),
+            jax.tree_util.tree_leaves_with_path(g_unr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5,
+            err_msg=f"custom_hvp grad mismatch at {jax.tree_util.keystr(ka)}")

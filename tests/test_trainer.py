@@ -97,3 +97,39 @@ def test_fit_resume_roundtrip(trainer):
     tr.system.global_step = 0
     tr.fit(resume_from=ckpt, max_steps=6)
     assert tr.system.global_step == 6
+
+
+class StubVocoder:
+    """Vocoder seam: Trainer only calls .infer(mels, lengths)."""
+
+    def infer(self, mels, lengths=None):
+        import numpy as np
+        mels = np.asarray(mels)
+        out = []
+        for i in range(mels.shape[0]):
+            n = int(lengths[i]) if lengths is not None else mels.shape[1] * 4
+            out.append(np.zeros(max(n, 1), np.int16))
+        return out
+
+
+@pytest.mark.parametrize("alg", ["meta", "baseline", "imaml"])
+def test_test_stage_all_systems_with_per_step_audio(alg, tmp_path):
+    """The test stage is shared by all three systems (reference
+    base_adaptor.py:136-189) and writes synth audio at EVERY adaptation
+    saving step (reference saver.py:130-194) — the EER-vs-steps input."""
+    tcfg = tiny_train_cfg()
+    system = get_system(alg)(tiny_preprocess_cfg(), tiny_model_cfg(),
+                             tcfg, algorithm_cfg(alg), stats=STATS,
+                             n_speakers=4)
+    out = str(tmp_path)
+    tr = Trainer(system, StubMetaDM(), tcfg, output_dir=out,
+                 exp_name=alg, vocoder=StubVocoder())
+    results = tr.test(max_tasks=1)
+    assert "test_000" in results
+    audio_dir = os.path.join(out, "result", alg, "audio", "Testing",
+                             "step_last", "test_000")
+    names = sorted(os.listdir(audio_dir))
+    assert any(n.endswith(".recon.wav") for n in names)
+    for ft in (0, 5, 10):
+        assert any(f"-FTstep_{ft}.synth.wav" in n for n in names), \
+            f"{alg}: missing synth audio at adaptation step {ft}: {names}"
