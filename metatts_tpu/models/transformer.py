@@ -63,8 +63,10 @@ def mha(p, x, key_valid, n_head, *, cdtype, drop_rate, train, rng,
     v = nn.linear(p["w_v"], x, cdtype, adtype).reshape(B, T, n_head, d_k)
     if attn_impl == "flash":
         from ..ops.pallas.attention import flash_attention
+        # feed the kernel in the compute dtype (bf16 on TPU): contractions
+        # run at double MXU rate, softmax stats stay fp32 inside the kernel
         fold = lambda t: t.transpose(0, 2, 1, 3).reshape(
-            B * n_head, T, d_k).astype(jnp.float32)
+            B * n_head, T, d_k).astype(cdtype)
         mask = jnp.repeat(key_valid.astype(jnp.float32), n_head, axis=0)
         o = flash_attention(fold(q), fold(k), fold(v), mask)
         out = o.reshape(B, n_head, T, d_k).transpose(0, 2, 1, 3)

@@ -31,16 +31,19 @@ NEG = -1e9
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale):
-    q = q_ref[0]                                   # (TQ, D)
+    q = q_ref[0]                                   # (TQ, D) bf16 or f32
     k = k_ref[0]                                   # (T, D)
     v = v_ref[0]
     bias = (mask_ref[0] - 1.0) * -NEG              # (1, T): 0 valid
+    # MXU contraction in the input dtype (bf16 doubles throughput + halves
+    # VMEM traffic); softmax statistics and accumulation stay fp32
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     s = s + bias
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = (jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = (jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
                 / jnp.maximum(l, 1e-30))
     lse_ref[0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0][None, :]
 
@@ -53,8 +56,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, do_ref,
     T = k.shape[0]
     n_blocks = T // tq
 
-    dk_acc = jnp.zeros_like(k)
-    dv_acc = jnp.zeros_like(v)
+    dk_acc = jnp.zeros(k.shape, jnp.float32)   # fp32 accumulators
+    dv_acc = jnp.zeros(v.shape, jnp.float32)
 
     def body(j, carry):
         dk_acc, dv_acc = carry
@@ -65,23 +68,28 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, do_ref,
         o = o_ref[0, pl.ds(start, tq), :]
         do = do_ref[0, pl.ds(start, tq), :]
         lse = lse_ref[0, :, pl.ds(start, tq)]      # (1, tq)
+        cd = k.dtype                               # contraction dtype
+        do_c = do.astype(cd)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         s = s + bias
-        p = jnp.exp(s - lse.T)                     # (TQ, T)
-        dv_acc = dv_acc + jnp.dot(p.T, do,
+        p = jnp.exp(s - lse.T)                     # (TQ, T) fp32
+        p_c = p.astype(cd)
+        dv_acc = dv_acc + jnp.dot(p_c.T, do_c,
                                   preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do_c, v.T, preferred_element_type=jnp.float32)
         delta = jnp.sum(do * o, axis=-1, keepdims=True)
-        ds = p * (dp - delta) * scale              # (TQ, T)
+        ds = p * (dp - delta) * scale              # (TQ, T) fp32
+        ds_c = ds.astype(cd)
         dq_ref[0, pl.ds(start, tq), :] = jnp.dot(
-            ds, k, preferred_element_type=jnp.float32)
-        dk_acc = dk_acc + jnp.dot(ds.T, q,
+            ds_c, k, preferred_element_type=jnp.float32).astype(
+                dq_ref.dtype)
+        dk_acc = dk_acc + jnp.dot(ds_c.T, q,
                                   preferred_element_type=jnp.float32)
         return dk_acc, dv_acc
 
     dk_acc, dv_acc = jax.lax.fori_loop(0, n_blocks, body, (dk_acc, dv_acc))
-    dk_ref[0] = dk_acc
-    dv_ref[0] = dv_acc
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
 def _fwd_call(q, k, v, mask, scale, tq, interpret):
@@ -141,9 +149,9 @@ def _bwd_call(q, k, v, mask, o, lse, do, scale, tq, interpret):
             pl.BlockSpec((1, T, D), full, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
-            jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
-            jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, T, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, T, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, T, D), v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
@@ -161,11 +169,15 @@ def _pick_tq(T, tq):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention(q, k, v, mask, tq=DEFAULT_TQ, interpret=False):
-    """q, k, v: (BH, T, D) fp32; mask: (BH, T) float {0,1} -> (BH, T, D).
+    """q, k, v: (BH, T, D) fp32 or bf16; mask: (BH, T) float {0,1} ->
+    (BH, T, D) fp32 output.
 
-    Softmax over keys with invalid keys biased to -1e9 (matches the einsum
-    reference in models/transformer.py).  T must be a multiple of the
-    (auto-shrunk) q block.
+    MXU contractions run in the input dtype (bf16 halves HBM/VMEM traffic
+    and doubles matmul rate); softmax statistics, output normalization and
+    dk/dv accumulation are fp32. Cotangents keep the input dtypes. Softmax
+    over keys with invalid keys biased to -1e9 (matches the einsum reference
+    in models/transformer.py). T must be a multiple of the (auto-shrunk)
+    q block.
     """
     scale = 1.0 / np.sqrt(q.shape[-1])
     o, _ = _fwd_call(q, k, v, mask, scale, _pick_tq(q.shape[1], tq),
