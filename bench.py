@@ -144,6 +144,25 @@ def main():
     chained_window()                                 # absorb compile
     synth_forward_ms = chained_window()
 
+    # secondary metric: plain supervised (baseline) training step at the
+    # reference recipe batch (80). Measured ~50% of v5e bf16 peak — the
+    # training path is MXU-bound, not dispatch-bound, at batch scale.
+    from metatts_tpu.algorithms.baseline import BaselineSystem
+    bsys = BaselineSystem(pcfg, mcfg, tcfg,
+                          {**acfg, "type": "baseline"}, n_speakers=256)
+    bbatch = _batch(rng, B=80, L=SRC_LEN, T=MEL_LEN, n_mels=80,
+                    n_speakers=256)
+    bl = bsys.train_step(bbatch)
+    for _ in range(3):
+        bl = bsys.train_step(bbatch)
+    jax.block_until_ready(bl.total)
+    t0 = time.time()
+    for _ in range(10):
+        bl = bsys.train_step(bbatch)   # param donation chains the steps
+    jax.block_until_ready(bl.total)
+    b_dt = (time.time() - t0) / 10
+    b_frames = int(np.asarray(bbatch.mel_lens).sum())
+
     # XLA's own FLOP count for the compiled meta step — hardens the analytic
     # baseline (BASELINE.md documents the hand derivation; this is the
     # compiler's number for the same program)
@@ -175,6 +194,8 @@ def main():
         "adapt100_synth_rtf": round(rtf, 4),
         "adapt100_synth_s": round(adapt_synth_s, 3),
         "synth_forward_ms_chained": round(synth_forward_ms, 2),
+        "baseline_step_ms_B80": round(b_dt * 1e3, 2),
+        "baseline_mel_frames_per_sec": round(b_frames / b_dt, 1),
     }))
 
 

@@ -148,13 +148,18 @@ class System:
             return self.adaptor.adapt(params, state, sup, steps=n, lr=lr,
                                       first_order=True, train=False, rng=None)
 
+        # snapshot evaluation is a pure forward (never differentiated), so
+        # it may use the fused FFT-block inference megakernel on TPU
+        eval_mcfg = {**self.mcfg, "_fused_infer": True}
+
         def qry_eval(params, state, sup, qry, rng):
             qry_c = qry._replace(speaker_args=sup.speaker_args[:1].repeat(
                 qry.texts.shape[0], axis=0)
                 if not isinstance(sup.speaker_args, tuple)
                 else sup.speaker_args)
             out, _ = self.adaptor.forward(params, state, qry_c, train=False,
-                                          rng=None, average_spk_emb=True)
+                                          rng=None, average_spk_emb=True,
+                                          mcfg=eval_mcfg)
             return self.adaptor.loss(qry_c, out)
 
         eval_fn = self._cached_jit("test_eval", qry_eval)

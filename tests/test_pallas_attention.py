@@ -94,3 +94,30 @@ def test_second_order_raises_and_model_falls_back(inputs):
     g = jax.grad(meta)(params)
     assert np.isfinite(
         np.asarray(jax.tree.leaves(g["decoder"])[0])).all()
+
+
+def test_bf16_inputs_forward_and_grads(inputs):
+    """Dtype-generic kernel: bf16 q/k/v run bf16 MXU contractions with fp32
+    softmax stats; output fp32, cotangents bf16, both tracking the fp32
+    reference to bf16 tolerance."""
+    q, k, v, mask = inputs
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out = flash_attention(qb, kb, vb, mask, 256, True)
+    assert out.dtype == jnp.float32
+    ref = _reference(q, k, v, mask)
+    assert float(jnp.abs(out - ref).max()) < 3e-2
+
+    def loss(q_, k_, v_):
+        return (flash_attention(q_, k_, v_, mask, 256, True) ** 2).sum()
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(qb, kb, vb)
+    assert gq.dtype == gk.dtype == gv.dtype == jnp.bfloat16
+
+    def ref_loss(q_, k_, v_):
+        return (_reference(q_, k_, v_, mask) ** 2).sum()
+
+    rq, rk, rv = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for g, r in ((gq, rq), (gk, rk), (gv, rv)):
+        rel = float(jnp.abs(g.astype(jnp.float32) - r).max()) / (
+            float(jnp.abs(r).max()) + 1e-9)
+        assert rel < 0.05, f"bf16 grad drift {rel}"

@@ -141,7 +141,7 @@ def _apply(model, fast, inputs):
 
 def main():
     torch.manual_seed(0)
-    torch.set_num_threads(torch.get_num_threads())
+    import os as _os; torch.set_num_threads(_os.cpu_count() or 8)
     rng = np.random.RandomState(0)
     model = RefFS2()
     sup, sup_tgt = batch(rng, SHOTS)
