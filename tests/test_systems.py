@@ -183,3 +183,21 @@ def test_custom_hvp_matches_unrolled_second_order(meta_sys):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5,
             err_msg=f"custom_hvp grad mismatch at {jax.tree_util.keystr(ka)}")
+
+
+def test_test_adapt_one_shot_mode():
+    """1-shot test adaptation (reference base_adaptor.py:139-147): each
+    adaptation step consumes a single support utterance, cycling through
+    the support set; snapshots still land at every saving step."""
+    sys = make_system("meta")
+    sys.acfg["adapt"]["test"]["1-shot"] = True
+    rng = np.random.RandomState(10)
+    rows, snapshots = sys.test_adapt(synth_batch(rng, B=3),
+                                     synth_batch(rng, B=1))
+    assert [s for s, _ in rows] == [0, 5, 10]
+    assert all(np.isfinite(float(l.total)) for _, l in rows)
+    assert [s for s, _ in snapshots] == [0, 5, 10]
+    p0, p10 = snapshots[0][1], snapshots[-1][1]
+    delta = sum(float(jnp.abs(a - b).sum())
+                for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p10)))
+    assert delta > 0
