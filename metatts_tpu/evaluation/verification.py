@@ -8,7 +8,20 @@ import numpy as np
 
 
 def speaker_verification_eer(same_scores, diff_scores):
-    """Returns dict with eer, threshold, auc, fpr/fnr arrays."""
+    """Returns dict with eer, threshold, auc, fpr/fnr arrays.
+
+    Degenerate inputs (no same- or no different-speaker pairs — e.g. a
+    single-task smoke run) return NaN metrics with a warning instead of
+    crashing; callers can filter on finiteness.
+    """
+    if len(same_scores) == 0 or len(diff_scores) == 0:
+        import warnings
+        warnings.warn(
+            f"speaker_verification_eer: need both same ({len(same_scores)})"
+            f" and different ({len(diff_scores)}) speaker pairs; returning"
+            " NaN metrics", stacklevel=2)
+        return {"eer": float("nan"), "threshold": float("nan"),
+                "auc": float("nan"), "fpr": np.zeros(0), "fnr": np.zeros(0)}
     scores = np.concatenate([same_scores, diff_scores])
     labels = np.concatenate([np.ones(len(same_scores)),
                              np.zeros(len(diff_scores))])

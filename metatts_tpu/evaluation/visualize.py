@@ -71,6 +71,8 @@ def det_plot(results_by_label, out_path):
     fig, ax = plt.subplots(figsize=(5.5, 5.5))
     ticks = np.array([0.001, 0.01, 0.05, 0.2, 0.5, 0.8, 0.95])
     for label, res in sorted(results_by_label.items()):
+        if len(res["fpr"]) == 0:     # degenerate (NaN-metric) result
+            continue
         fpr = np.clip(np.asarray(res["fpr"]), 1e-6, 1 - 1e-6)
         fnr = np.clip(np.asarray(res["fnr"]), 1e-6, 1 - 1e-6)
         ax.plot(norm.ppf(fpr), norm.ppf(fnr),
@@ -99,6 +101,8 @@ def roc_plot(results_by_label, out_path):
 
     fig, ax = plt.subplots(figsize=(5.5, 5.5))
     for label, res in sorted(results_by_label.items()):
+        if len(res["fpr"]) == 0:     # degenerate (NaN-metric) result
+            continue
         fpr = np.asarray(res["fpr"])
         tpr = 1.0 - np.asarray(res["fnr"])
         ax.plot(fpr, tpr, label=f"{label} (AUC {res['auc']:.3f})")

@@ -118,3 +118,19 @@ def test_det_roc_plots(tmp_path):
     r = roc_plot({"real": res}, str(tmp_path / "roc.png"))
     import os
     assert os.path.getsize(d) > 0 and os.path.getsize(r) > 0
+
+
+def test_eer_degenerate_inputs_return_nan():
+    """Single-task smoke runs can yield no same- or diff-speaker pairs; the
+    metric must degrade to NaN (with a warning), not crash."""
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r1 = speaker_verification_eer(np.zeros(0), np.ones(5))
+        r2 = speaker_verification_eer(np.ones(5), np.zeros(0))
+    assert np.isnan(r1["eer"]) and np.isnan(r2["auc"])
+    from metatts_tpu.evaluation.visualize import det_plot, roc_plot
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        det_plot({"x": r1}, os.path.join(d, "det.png"))
+        roc_plot({"x": r1}, os.path.join(d, "roc.png"))
