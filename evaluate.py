@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--ft-step", type=int, default=None,
                     help="restrict synth wavs to one adaptation saving step "
                          "(*-FTstep_<n>.synth.wav)")
+    ap.add_argument("--descriptions", type=str, default=None,
+                    help="test_descriptions.json for task->speaker "
+                         "regrouping (default: auto-derived from --result "
+                         "by replacing /result/ with /log/)")
     ap.add_argument("--dvector-weights", type=str, default=None)
     ap.add_argument("--out", type=str, default="eval_out")
     ap.add_argument("--max-per-speaker", type=int, default=16)
@@ -65,12 +69,26 @@ def main():
     tsne_plot(real, os.path.join(args.out, "real_tsne.png"))
 
     if args.result:
+        # task -> speaker regrouping via the persisted frozen episode
+        # descriptions, so same/different-speaker pairs span tasks (the
+        # reference pools d-vectors per speaker)
+        import json
+        descs = None
+        dpath = args.descriptions or os.path.join(
+            args.result.replace(os.sep + "result" + os.sep,
+                                os.sep + "log" + os.sep),
+            "test_descriptions.json")
+        if os.path.exists(dpath):
+            descs = json.load(open(dpath))
+            print(f"[eval] speaker regrouping via {dpath}")
         for kind in ("recon", "synth"):
             ft = args.ft_step if kind == "synth" else None
             groups = h.embed_result_tree(args.result, kind, args.step,
                                          ft_step=ft)
             if not groups:
                 continue
+            if descs:
+                groups = h.regroup_by_speaker(groups, descs)
             label = f"{kind}_{args.step}" + (
                 f"_FTstep{ft}" if ft is not None else "")
             r = speaker_verification_eer(*pair_similarity(groups))

@@ -73,7 +73,8 @@ def main(args, configs):
             system.params, system.state = p, st
             for r in rep:
                 print(f"[ckpt surgery] {r}")
-        trainer.test(max_tasks=args.max_tasks)
+        trainer.test(max_tasks=args.max_tasks,
+                     tasks_per_label=args.tasks_per_label)
     elif args.stage == "debug":
         n = 0
         for i in range(len(dm.test_set)):
@@ -131,6 +132,9 @@ if __name__ == "__main__":
     parser.add_argument("--output_dir", type=str, default="output")
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--max_tasks", type=int, default=None)
+    parser.add_argument("--tasks_per_label", type=int, default=None,
+                        help="test episodes per speaker (default 16, as in "
+                             "the reference)")
     parser.add_argument("--source", type=str, default=None,
                         help="text source file for predict stage")
     parser.add_argument("--no_synth", action="store_true",

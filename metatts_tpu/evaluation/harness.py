@@ -92,6 +92,24 @@ class EvaluationHarness:
                 out[task] = self._embed_files(files, key)
         return out
 
+    @staticmethod
+    def regroup_by_speaker(task_groups, descriptions):
+        """task_id ('test_NNN') -> speaker groups, via the frozen episode
+        descriptions the datamodule persists (test_descriptions.json:
+        ordered list of {label: '<corpus>-spk_<id>', ...}).  Same/different-
+        speaker pairs then span tasks, which is what the reference's
+        per-speaker d-vector pools do (evaluation/wavs_to_dvector.py)."""
+        out = {}
+        for task, vecs in task_groups.items():
+            try:
+                idx = int(task.rsplit("_", 1)[1])
+                label = descriptions[idx]["label"]
+            except (ValueError, IndexError, KeyError):
+                label = task
+            spk = label.split("-spk_", 1)[-1]
+            out.setdefault(spk, []).append(vecs)
+        return {k: np.concatenate(v) for k, v in out.items()}
+
     # ----------------------------------------------------------- metrics
 
     @staticmethod

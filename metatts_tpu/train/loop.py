@@ -165,9 +165,11 @@ class Trainer:
 
     # -------------------------------------------------------------- test
 
-    def test(self, ckpt_step="last", max_tasks=None):
+    def test(self, ckpt_step="last", max_tasks=None, tasks_per_label=None):
         """Few-shot test: adapt on support, synthesize query, save artifacts
-        (reference ``base_adaptor.py:136-189`` + Saver test tree)."""
+        (reference ``base_adaptor.py:136-189`` + Saver test tree).
+        ``tasks_per_label`` overrides the per-speaker episode count
+        (reference default 16/speaker)."""
         from ..data.collate import collate_episode
         test_cfg = self.system.acfg["adapt"]["test"]
         if test_cfg.get("avg_train_spk_emb") and \
@@ -182,7 +184,9 @@ class Trainer:
                 self.system.params, train_rows)
             print(f"[test] avg_train_spk_emb over {len(train_rows)} rows")
         results = {}
-        for i, (desc, (sup, qry)) in enumerate(self.dm.test_episodes()):
+        episodes = (self.dm.test_episodes(tasks_per_label)
+                    if tasks_per_label else self.dm.test_episodes())
+        for i, (desc, (sup, qry)) in enumerate(episodes):
             if max_tasks and i >= max_tasks:
                 break
             task_id = f"test_{i:03d}"
