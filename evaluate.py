@@ -82,24 +82,33 @@ def main():
             descs = json.load(open(dpath))
             print(f"[eval] speaker regrouping via {dpath}")
         for kind in ("recon", "synth"):
-            ft = args.ft_step if kind == "synth" else None
-            groups = h.embed_result_tree(args.result, kind, args.step,
-                                         ft_step=ft)
-            if not groups:
-                continue
-            if descs:
-                groups = h.regroup_by_speaker(groups, descs)
-            label = f"{kind}_{args.step}" + (
-                f"_FTstep{ft}" if ft is not None else "")
-            r = speaker_verification_eer(*pair_similarity(groups))
-            curve_results[label] = r
-            rows.append((f"{label}_eer", f"{r['eer']:.4f}"))
-            rows.append((f"{label}_auc", f"{r['auc']:.4f}"))
-            sims = h.similarity_to_enrollment(real, groups)
-            if sims:
-                import numpy as np
-                rows.append((f"{label}_centroid_sim",
-                             f"{np.mean(list(sims.values())):.4f}"))
+            if kind == "synth":
+                # evaluate each adaptation saving step separately — pooling
+                # step-0 (un-adapted) with step-100 audio would silently
+                # change the metric; --ft-step restricts to one step
+                fts = ([args.ft_step] if args.ft_step is not None
+                       else discover_ft_steps(args.result, args.step)
+                       or [None])
+            else:
+                fts = [None]
+            for ft in fts:
+                groups = h.embed_result_tree(args.result, kind, args.step,
+                                             ft_step=ft)
+                if not groups:
+                    continue
+                if descs:
+                    groups = h.regroup_by_speaker(groups, descs)
+                label = f"{kind}_{args.step}" + (
+                    f"_FTstep{ft}" if ft is not None else "")
+                r = speaker_verification_eer(*pair_similarity(groups))
+                curve_results[label] = r
+                rows.append((f"{label}_eer", f"{r['eer']:.4f}"))
+                rows.append((f"{label}_auc", f"{r['auc']:.4f}"))
+                sims = h.similarity_to_enrollment(real, groups)
+                if sims:
+                    import numpy as np
+                    rows.append((f"{label}_centroid_sim",
+                                 f"{np.mean(list(sims.values())):.4f}"))
 
     # DET + ROC figures over every evaluated group (reference
     # speaker_verification.py:20 emits both per mode)
@@ -114,6 +123,20 @@ def main():
     print(f"wrote {path}")
     for label, value in rows:
         print(f"  {label}\t{value}")
+
+
+def discover_ft_steps(result_dir, step):
+    """Adaptation saving steps present in the Saver test tree
+    (``*-FTstep_<n>.synth.wav``), sorted ascending."""
+    import glob
+    import re
+    steps = set()
+    for f in glob.glob(os.path.join(result_dir, "audio", "Testing", step,
+                                    "*", "*.synth.wav")):
+        m = re.search(r"-FTstep_(\d+)\.synth\.wav$", os.path.basename(f))
+        if m:
+            steps.add(int(m.group(1)))
+    return sorted(steps)
 
 
 def mos_rows(real_dir, result_dir, step, max_per_speaker):

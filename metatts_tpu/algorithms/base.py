@@ -131,11 +131,24 @@ class System:
         first-order SGD on the support set in chunks, recording the query
         recon loss and a full parameter snapshot at every saving step.
 
-        Returns ``(rows, snapshots)`` host-side, where ``rows`` is a list of
+        Reference parity notes:
+        * the inner SGD runs with dropout ACTIVE (the reference clones the
+          learner and calls ``learner.train()``, ``base_adaptor.py:100-103``),
+          so the support forwards here use ``train=True`` with a threaded
+          rng;
+        * the snapshot evaluations stay deterministic (``train=False``) — a
+          deliberate divergence: the reference's post-adaptation query
+          forwards inherit the clone's train mode (dropout on), which only
+          adds eval noise; step-0 eval is dropout-off in both.
+
+        Returns ``(rows, snapshots)`` where ``rows`` is a list of
         ``(ft_step, LossValues)`` and ``snapshots`` a list of
         ``(ft_step, params)`` — one per saving step including step 0 — so the
         caller can synthesize per-adaptation-step audio (the EER-vs-steps
-        evaluation input, reference ``saver.py:130-194``).
+        evaluation input, reference ``saver.py:130-194``).  Snapshots are
+        host-offloaded (``jax.device_get``): at base scale each is ~140 MB
+        of fp32 params, so keeping the 7 saving-step snapshots on a 16 G
+        chip would pin ~1 GB of HBM for the rest of the episode.
         """
         test_cfg = self.acfg["adapt"]["test"]
         lr = test_cfg["lr"]
@@ -143,10 +156,10 @@ class System:
         max_steps = test_cfg["steps"]
 
         def adapt_chunk(params, state, sup, rng, n):
-            # eval-mode forward (no dropout) + first-order SGD, matching the
-            # reference test loop (model.eval() + first_order adapt_)
+            # dropout-active first-order SGD (reference clone().train() +
+            # first_order adapt_, base_adaptor.py:100-111)
             return self.adaptor.adapt(params, state, sup, steps=n, lr=lr,
-                                      first_order=True, train=False, rng=None)
+                                      first_order=True, train=True, rng=rng)
 
         # snapshot evaluation is a pure forward (never differentiated), so
         # it may use the fused FFT-block inference megakernel on TPU
@@ -164,40 +177,46 @@ class System:
 
         eval_fn = self._cached_jit("test_eval", qry_eval)
 
-        one_shot = test_cfg.get("1-shot", False)
-        if one_shot:
-            # reference base_adaptor.py:139-147: each adaptation step uses a
-            # single support utterance, cycling through the support set
-            K = sup_batch.texts.shape[0]
-            single_fn = self._cached_jit(
-                "test_adapt_1shot",
-                lambda p, st, s, r: adapt_chunk(p, st, s, r, 1))
-
-            def slice_one(i):
-                return jax.tree.map(lambda x: x[i % K][None], sup_batch)
-
         rows = []
         params = self.params
         rows.append((0, eval_fn(params, self.state, sup_batch, qry_batch,
                                 None)))
-        snapshots = [(0, params)]
+        snapshots = [(0, jax.device_get(params))]
         done = 0
         for target in sorted(s for s in saving_steps if s <= max_steps):
             n = target - done
             if n <= 0:
                 continue
-            if one_shot:
-                for k in range(done, target):
-                    params = single_fn(params, self.state, slice_one(k),
-                                       self.next_rng())
-            else:
-                chunk_fn = self._cached_jit(
-                    f"test_adapt_{n}",
-                    lambda p, st, s, r, n=n: adapt_chunk(p, st, s, r, n))
-                params = chunk_fn(params, self.state, sup_batch,
-                                  self.next_rng())
+            chunk_fn = self._cached_jit(
+                f"test_adapt_{n}",
+                lambda p, st, s, r, n=n: adapt_chunk(p, st, s, r, n))
+            params = chunk_fn(params, self.state, sup_batch,
+                              self.next_rng())
             done = target
             rows.append((target, eval_fn(params, self.state, sup_batch,
                                          qry_batch, None)))
-            snapshots.append((target, params))
+            snapshots.append((target, jax.device_get(params)))
         return rows, snapshots
+
+    def test_adapt_tasks(self, sup_batch, qry_batch, ft_steps=None):
+        """Yield ``(suffix, rows, snapshots)`` per test sub-task.
+
+        Standard mode: one sub-task, the full support set, suffix "".
+        1-shot mode (``adapt.test.1-shot``): the reference test_step builds a
+        ``Task`` minibatcher with batch_size=1 and runs an INDEPENDENT full
+        adaptation trajectory per single support utterance
+        (``base_adaptor.py:139-147``) — K sub-tasks, each adapting from the
+        initial params on one utterance with the full query batch, emitted
+        with suffix ``_<i>`` (the reference's per-sub-task outputs list).
+        """
+        if not self.acfg["adapt"]["test"].get("1-shot", False):
+            rows, snapshots = self.test_adapt(sup_batch, qry_batch, ft_steps)
+            yield "", rows, snapshots
+            return
+        K = sup_batch.texts.shape[0]
+        for i in range(K):
+            sup_i = jax.tree.map(
+                lambda x: x[i:i + 1] if hasattr(x, "shape") else x,
+                sup_batch)
+            rows, snapshots = self.test_adapt(sup_i, qry_batch, ft_steps)
+            yield f"_{i}", rows, snapshots

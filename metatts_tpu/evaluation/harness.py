@@ -102,12 +102,16 @@ class EvaluationHarness:
         out = {}
         for task, vecs in task_groups.items():
             try:
-                idx = int(task.rsplit("_", 1)[1])
+                # 1-shot sub-tasks are 'test_NNN_k' — the episode index is
+                # the first numeric component after 'test_'
+                idx = int(task.split("_")[1])
                 label = descriptions[idx]["label"]
             except (ValueError, IndexError, KeyError):
                 label = task
-            spk = label.split("-spk_", 1)[-1]
-            out.setdefault(spk, []).append(vecs)
+            # pool by the FULL label ('<corpus>_<lang>-spk_<id>'): distinct
+            # corpora can reuse numeric speaker ids, and merging those pools
+            # would corrupt the same/different-speaker pairs
+            out.setdefault(label, []).append(vecs)
         return {k: np.concatenate(v) for k, v in out.items()}
 
     # ----------------------------------------------------------- metrics
@@ -122,12 +126,20 @@ class EvaluationHarness:
     @staticmethod
     def similarity_to_enrollment(enroll_by_speaker, test_by_speaker):
         """Mean cosine of each speaker's test d-vectors to their enrollment
-        centroid (reference centroid_similarity)."""
+        centroid (reference centroid_similarity).
+
+        Test pools are keyed by full episode label
+        ('<corpus>_<lang>-spk_<id>'); enrollment dirs are usually named by
+        bare speaker id, so a pool also matches the enrollment key that is
+        its '-spk_' suffix (unambiguous: ids are unique within a corpus).
+        """
         sims = {}
         for spk, vecs in test_by_speaker.items():
-            if spk in enroll_by_speaker:
+            key = spk if spk in enroll_by_speaker else \
+                spk.split("-spk_", 1)[-1]
+            if key in enroll_by_speaker:
                 sims[spk] = float(np.mean(
-                    centroid_similarity(enroll_by_speaker[spk], vecs)))
+                    centroid_similarity(enroll_by_speaker[key], vecs)))
         return sims
 
     def write_report(self, path, rows):

@@ -192,13 +192,17 @@ class Trainer:
             task_id = f"test_{i:03d}"
             sup_b, qry_b, _, qry_meta = collate_episode([sup], [qry])
             sup_e, qry_e = _first_episode(sup_b), _first_episode(qry_b)
-            rows, snapshots = self.system.test_adapt(sup_e, qry_e)
-            self.saver.log_task_csv("Testing", task_id, rows,
-                                    ckpt_step=ckpt_step)
-            if self.vocoder is not None:
-                self._save_test_audio(task_id, snapshots, sup_e, qry_e,
-                                      qry_meta[0], ckpt_step)
-            results[task_id] = rows
+            # 1-shot mode yields one independent trajectory per support
+            # utterance (suffix _<k>); standard mode yields one ("", ...)
+            for suffix, rows, snapshots in \
+                    self.system.test_adapt_tasks(sup_e, qry_e):
+                tid = task_id + suffix
+                self.saver.log_task_csv("Testing", tid, rows,
+                                        ckpt_step=ckpt_step)
+                if self.vocoder is not None:
+                    self._save_test_audio(tid, snapshots, sup_e, qry_e,
+                                          qry_meta[0], ckpt_step)
+                results[tid] = rows
         return results
 
     def _save_test_audio(self, task_id, snapshots, sup, qry, qry_meta,

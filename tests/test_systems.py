@@ -185,19 +185,43 @@ def test_custom_hvp_matches_unrolled_second_order(meta_sys):
             err_msg=f"custom_hvp grad mismatch at {jax.tree_util.keystr(ka)}")
 
 
+def _tree_l1(a, b):
+    return sum(float(np.abs(np.asarray(x) - np.asarray(y)).sum())
+               for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
 def test_test_adapt_one_shot_mode():
-    """1-shot test adaptation (reference base_adaptor.py:139-147): each
-    adaptation step consumes a single support utterance, cycling through
-    the support set; snapshots still land at every saving step."""
+    """1-shot test adaptation (reference base_adaptor.py:136-153): the
+    reference Task minibatcher with batch_size=1 runs an INDEPENDENT full
+    adaptation trajectory per single support utterance — K sub-tasks each
+    starting from the initial params, not one shared trajectory cycling
+    through the support set."""
     sys = make_system("meta")
     sys.acfg["adapt"]["test"]["1-shot"] = True
     rng = np.random.RandomState(10)
-    rows, snapshots = sys.test_adapt(synth_batch(rng, B=3),
-                                     synth_batch(rng, B=1))
-    assert [s for s, _ in rows] == [0, 5, 10]
-    assert all(np.isfinite(float(l.total)) for _, l in rows)
-    assert [s for s, _ in snapshots] == [0, 5, 10]
-    p0, p10 = snapshots[0][1], snapshots[-1][1]
-    delta = sum(float(jnp.abs(a - b).sum())
-                for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p10)))
-    assert delta > 0
+    sup, qry = synth_batch(rng, B=3), synth_batch(rng, B=1)
+    tasks = list(sys.test_adapt_tasks(sup, qry))
+    assert [t[0] for t in tasks] == ["_0", "_1", "_2"]
+    init = jax.device_get(sys.params)
+    finals = []
+    for suffix, rows, snapshots in tasks:
+        assert [s for s, _ in rows] == [0, 5, 10]
+        assert all(np.isfinite(float(l.total)) for _, l in rows)
+        assert [s for s, _ in snapshots] == [0, 5, 10]
+        # every trajectory starts at the shared initial params ...
+        assert _tree_l1(snapshots[0][1], init) == 0.0
+        # ... and actually adapts
+        assert _tree_l1(snapshots[-1][1], init) > 0
+        finals.append(snapshots[-1][1])
+    # different support utterances -> different adapted params
+    assert _tree_l1(finals[0], finals[1]) > 0
+    assert _tree_l1(finals[1], finals[2]) > 0
+
+
+def test_test_adapt_tasks_standard_mode_single(meta_sys):
+    """Without 1-shot, test_adapt_tasks yields exactly one sub-task with an
+    empty suffix (the reference's single _test_step output)."""
+    rng = np.random.RandomState(12)
+    tasks = list(meta_sys.test_adapt_tasks(synth_batch(rng, B=2),
+                                           synth_batch(rng, B=1)))
+    assert len(tasks) == 1 and tasks[0][0] == ""
