@@ -13,6 +13,7 @@ returns f0 in Hz per frame, 0.0 at unvoiced frames, frame count
 
 import ctypes
 import os
+import subprocess
 
 import numpy as np
 
@@ -20,17 +21,41 @@ _F0_FLOOR = 71.0
 _F0_CEIL = 800.0
 
 _lib = None
+_build_attempted = False
+
+_CSRC_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "csrc")
+
+
+def _build_native():
+    """Compile csrc/libworld.so in place (make; g++ is assumed, as the
+    reference assumes pyworld's compiled wheel).  Opt out with
+    METATTS_NO_NATIVE_BUILD=1 (e.g. no toolchain).  Returns True if the
+    .so exists afterwards."""
+    global _build_attempted
+    so = os.path.join(_CSRC_DIR, "libworld.so")
+    if os.path.exists(so):
+        return True
+    if _build_attempted or os.environ.get("METATTS_NO_NATIVE_BUILD"):
+        return False
+    _build_attempted = True
+    try:
+        r = subprocess.run(["make", "-C", _CSRC_DIR], capture_output=True,
+                           text=True, timeout=120)
+        if r.returncode != 0:
+            print(f"[f0] native build failed:\n{r.stderr[-500:]}")
+    except (OSError, subprocess.TimeoutExpired) as e:
+        print(f"[f0] native build unavailable: {e}")
+    return os.path.exists(so)
 
 
 def _load_native():
     global _lib
     if _lib is not None:
         return _lib
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), "csrc", "libworld.so")
-    if not os.path.exists(path):
+    if not _build_native():
         return None
-    lib = ctypes.CDLL(path)
+    lib = ctypes.CDLL(os.path.join(_CSRC_DIR, "libworld.so"))
     lib.dio_stonemask.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
@@ -41,13 +66,24 @@ def _load_native():
     return lib
 
 
+def f0_backend():
+    """Which backend ``extract_f0(use_native=True)`` will use:
+    'native-dio' (csrc/libworld.so) or 'numpy-yin' (fallback)."""
+    return "native-dio" if _load_native() is not None else "numpy-yin"
+
+
 def n_frames(n_samples, sr, frame_period_ms):
     hop = sr * frame_period_ms / 1000.0
     return int(n_samples / hop) + 1
 
 
 def extract_f0(wav, sr, frame_period_ms, use_native=True):
-    """wav float in [-1,1] -> (n_frames,) f0 Hz, 0 at unvoiced."""
+    """wav float in [-1,1] -> (n_frames,) f0 Hz, 0 at unvoiced.
+
+    ``use_native``: True tries csrc/libworld.so (auto-built on first use)
+    and falls back to numpy YIN; "require" raises instead of falling back
+    (the hot offline path must be native, SURVEY.md §2.3); False forces the
+    YIN fallback (the cross-check reference in tests)."""
     wav = np.ascontiguousarray(wav, dtype=np.float64)
     nf = n_frames(len(wav), sr, frame_period_ms)
     lib = _load_native() if use_native else None
@@ -59,6 +95,12 @@ def extract_f0(wav, sr, frame_period_ms, use_native=True):
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), nf)
         if ok == 0:
             return out
+        if use_native == "require":
+            raise RuntimeError(f"native dio_stonemask failed (rc={ok})")
+    if use_native == "require":
+        raise RuntimeError(
+            "native F0 extractor required but csrc/libworld.so is "
+            "unavailable (build with `make -C csrc`)")
     return yin_f0(wav, sr, frame_period_ms)
 
 

@@ -90,6 +90,10 @@ class Preprocessor:
     # ----------------------------------------------------------- driver
 
     def build_from_path(self):
+        # which F0 extractor actually runs (the reference's pyworld C++ is
+        # replaced by csrc/libworld.so; numpy YIN is only a fallback)
+        from .pitch import f0_backend
+        print(f"[f0] backend: {f0_backend()}")
         subs = ["mel", "pitch", "energy", "duration", "spk_ref_mel_slices"]
         if self.emit_representations:
             subs.append("representation")
