@@ -4,7 +4,8 @@ peak-normalize to int16, clean transcripts to ``.lab`` files.
 
 LibriTTS layout: <corpus>/<subset>/<speaker>/<chapter>/<base>.wav with
 ``<base>.normalized.txt`` transcripts.  VCTK: wav48_silence_trimmed mic2
-flacs (flac unsupported without soundfile; VCTK expects pre-converted wavs).
+flacs, decoded with the native FLAC decoder (csrc/flac.cpp) — a real VCTK
+drop needs zero code (reference ``preprocessor/vctk.py:11-46``).
 """
 
 import os
@@ -91,9 +92,17 @@ def prepare_align_vctk(config):
         if not os.path.isdir(spk_dir):
             continue
         for fname in sorted(os.listdir(spk_dir)):
-            if not fname.endswith(".wav"):
+            # mic2 FLAC is the reference input (vctk.py:11-46, decoded
+            # natively via csrc/flac.cpp); pre-converted wavs also accepted
+            if fname.endswith(".wav"):
+                base = fname[:-4]
+            elif fname.endswith(".flac"):
+                base = fname[:-5]
+                if "_mic1" in base:
+                    continue  # reference uses the mic2 feed only
+            else:
                 continue
-            base = fname[:-4].replace("_mic2", "")
+            base = base.replace("_mic2", "")
             txt = os.path.join(txt_root, speaker, f"{base}.txt")
             if not os.path.exists(txt):
                 continue

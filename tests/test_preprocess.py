@@ -179,6 +179,75 @@ def test_native_f0_parity_with_yin():
     assert np.mean(unvoiced > 0) < 0.1    # noise stays unvoiced
 
 
+def test_native_flac_decoder_lossless():
+    """csrc/flac.cpp round-trips FLAC streams bit-exactly (verbatim and
+    fixed-predictor/Rice frames, mono + stereo mid-channel downmix) — the
+    native replacement for the soundfile/librosa FLAC read the reference
+    uses on VCTK mic2 (preprocessor/vctk.py:11-46)."""
+    from flac_encoder import encode_flac
+    from metatts_tpu.preprocess.audio_io import load_flac
+    rng = np.random.RandomState(0)
+    t = np.arange(24000) / 48000
+    sig = np.clip(6000 * np.sin(2 * np.pi * 220 * t)
+                  + 800 * rng.randn(len(t)), -32768, 32767).astype(np.int32)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        for mode in ("verbatim", "fixed2"):
+            p = os.path.join(d, f"{mode}.flac")
+            open(p, "wb").write(encode_flac(sig, 48000, mode=mode))
+            x, sr = load_flac(p)
+            assert sr == 48000
+            np.testing.assert_array_equal(
+                x, sig.astype(np.float32) / 32768.0)
+        st = os.path.join(d, "st.flac")
+        stereo = np.stack([sig, sig // 2], axis=1)
+        open(st, "wb").write(encode_flac(stereo, 48000))
+        x, sr = load_flac(st)
+        np.testing.assert_allclose(
+            x, stereo.astype(np.float32).mean(axis=1) / 32768.0, atol=1e-7)
+        # load_wav dispatches on extension and resamples
+        from metatts_tpu.preprocess.audio_io import load_wav
+        x, sr = load_wav(os.path.join(d, "fixed2.flac"), target_sr=22050)
+        assert sr == 22050 and len(x) == 11025
+
+
+def test_prepare_align_vctk_flac(tmp_path):
+    """VCTK mic2 flac corpus -> raw_data wav+lab with zero external deps
+    (reference preprocessor/vctk.py:11-46)."""
+    from flac_encoder import encode_flac
+    from metatts_tpu.preprocess.prepare_align import prepare_align
+    corpus = tmp_path / "VCTK"
+    wavs = corpus / "wav48_silence_trimmed" / "p225"
+    txts = corpus / "txt" / "p225"
+    wavs.mkdir(parents=True)
+    txts.mkdir(parents=True)
+    t = np.arange(48000) / 48000
+    sig = np.clip(8000 * np.sin(2 * np.pi * 180 * t), -32768,
+                  32767).astype(np.int32)
+    (wavs / "p225_001_mic2.flac").write_bytes(encode_flac(sig, 48000))
+    (wavs / "p225_001_mic1.flac").write_bytes(encode_flac(sig // 3, 48000))
+    (txts / "p225_001.txt").write_text("Please call Stella.\n")
+    cfg = {
+        "dataset": "VCTK",
+        "path": {"corpus_path": str(corpus),
+                 "raw_path": str(tmp_path / "raw")},
+        "preprocessing": {
+            "audio": {"sampling_rate": 22050},
+            "text": {"text_cleaners": ["english_cleaners"]},
+        },
+    }
+    n = prepare_align(cfg)
+    assert n == 1                       # mic1 skipped, mic2 converted
+    out_wav = tmp_path / "raw" / "all" / "p225" / "p225_001.wav"
+    out_lab = tmp_path / "raw" / "all" / "p225" / "p225_001.lab"
+    assert out_wav.exists() and out_lab.exists()
+    from metatts_tpu.preprocess.audio_io import load_wav
+    x, sr = load_wav(str(out_wav))
+    assert sr == 22050 and len(x) == 22050
+    assert np.abs(x).max() > 0.9        # peak-normalized
+    assert out_lab.read_text() == "please call stella."
+
+
 def test_dataset_and_collate(corpus):
     cfg, _ = corpus
     ds = TTSDataset("train.txt", cfg)
