@@ -66,9 +66,15 @@ MODEL_DEFAULTS = {
     "attention_scores_dtype": "bfloat16",  # (B,h,T,T) scores + softmax
     "max_src_len": 192,            # static text-length bucket cap
     "remat": False,                # jax.checkpoint FFT blocks (mem vs speed)
-    "layer_scan": False,           # lax.scan over stacked FFT-block layers:
-                                   # ~N_layers× smaller XLA program (compile
-                                   # time), identical math
+    "layer_scan": "auto",          # lax.scan over stacked FFT-block layers:
+                                   # ~N_layers× smaller XLA program, identical
+                                   # math (tested bit-identical incl. grads).
+                                   # "auto" = scan on CPU (unrolled full-depth
+                                   # second-order is a >45 min LLVM compile),
+                                   # unrolled on TPU (scan costs ~20% step
+                                   # time: 193 vs 159 ms meta step on v5e).
+                                   # true/false force; int >= 2 scans with
+                                   # that unroll factor
     "second_order_impl": "custom_hvp",  # custom-VJP inner SGD step (flash
                                         # fwd + exact einsum HVP bwd) |
                                         # "unrolled" plain autodiff

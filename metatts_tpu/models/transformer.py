@@ -217,21 +217,43 @@ def _make_block(n_head, cdtype, drop_rate, train, remat, attn_impl,
     return jax.checkpoint(run) if remat else run
 
 
+def resolve_layer_scan(cfg):
+    """``model.layer_scan``: False (unroll) | True (scan) | int >= 2 (scan
+    with that unroll factor) | "auto" (backend default).
+
+    "auto" resolves to scan on the CPU backend — the unrolled full-depth
+    second-order program is a pathological single-core LLVM compile
+    (>45 min; scanned: ~2 min) — and to unrolled layers everywhere else
+    (TPU, incl. the tunneled "axon" platform, whose backend name is NOT
+    "tpu" — testing ``!= "tpu"`` silently put TPU runs on the scanned
+    path and cost 20% meta-step time: 193 ms vs 159 ms on v5e; scan
+    bodies block cross-layer fusion).  The ~4x TPU compile saving scan
+    would buy is covered by the persistent compilation cache instead.
+    """
+    v = cfg.get("layer_scan", "auto")
+    if v == "auto":
+        return jax.default_backend() == "cpu"
+    return v
+
+
 def _run_layers(layers, blk, x, valid, rng, cfg):
     """Apply the FFT-block stack.
 
-    ``model.layer_scan: true`` stacks the (structurally identical) per-layer
-    param pytrees and runs ONE ``lax.scan`` over them instead of unrolling
-    N layers into the XLA program — the program is ~N× smaller, which cuts
-    compile time correspondingly (the second-order meta step at the full
-    base config is otherwise a pathological CPU/LLVM compile).  Math is
-    identical; per-layer dropout rngs are pre-split and scanned alongside.
+    With layer_scan on (see ``resolve_layer_scan``), the (structurally
+    identical) per-layer param pytrees are stacked and run under ONE
+    ``lax.scan`` instead of unrolling N layers into the XLA program — the
+    program is ~N× smaller, which cuts compile time correspondingly.  Math
+    is identical; per-layer dropout rngs are pre-split and scanned
+    alongside.  An integer value scans with that unroll factor (program
+    size ~N/u, fusion across u consecutive layers).
     """
-    if not cfg.get("layer_scan") or len(layers) == 1:
+    scan = resolve_layer_scan(cfg)
+    if not scan or len(layers) == 1:
         for i, lp in enumerate(layers):
             lrng = jax.random.fold_in(rng, i) if rng is not None else None
             x = blk(lp, x, valid, lrng)
         return x
+    unroll = scan if isinstance(scan, int) and scan is not True else 1
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     if rng is not None:
         rngs = jnp.stack([jax.random.fold_in(rng, i)
@@ -241,12 +263,12 @@ def _run_layers(layers, blk, x, valid, rng, cfg):
             lp, lrng = xs
             return blk(lp, h, valid, lrng), None
 
-        x, _ = jax.lax.scan(body, x, (stacked, rngs))
+        x, _ = jax.lax.scan(body, x, (stacked, rngs), unroll=unroll)
     else:
         def body(h, lp):
             return blk(lp, h, valid, None), None
 
-        x, _ = jax.lax.scan(body, x, stacked)
+        x, _ = jax.lax.scan(body, x, stacked, unroll=unroll)
     return x
 
 
