@@ -14,10 +14,14 @@ def test_mesh_has_8_virtual_devices():
 
 def test_dryrun_multichip_8_tiny():
     """Sharded meta step over the 8-virtual-device CPU mesh, through the
-    production System.enable_mesh + train_step codepath (fast config; the
-    driver's dryrun runs the same function at the full base config)."""
+    production System.enable_mesh + train_step codepath.  MUST stay on the
+    tiny variant: inside the warm pytest process the raised XLA:CPU
+    collective timeouts can't land (backend already initialized), and the
+    h256 "mid" variant's per-device programs reach the psum rendezvous
+    minutes apart -> the default 40 s abort SIGABRTs pytest.  The driver
+    runs the "mid" variant in a fresh process."""
     from __graft_entry__ import dryrun_multichip
-    dryrun_multichip(8, full=False)
+    dryrun_multichip(8, variant="tiny")
 
 
 def _stack(seed, E=8):
@@ -34,7 +38,7 @@ def test_sharded_matches_single_device():
     from __graft_entry__ import _configs
     from metatts_tpu.algorithms.meta import MetaSystem
 
-    pcfg, mcfg, tcfg, acfg = _configs(tiny=True)
+    pcfg, mcfg, tcfg, acfg = _configs("tiny")
     sup, qry = _stack(0), _stack(1)
 
     sys_single = MetaSystem(pcfg, mcfg, tcfg, acfg, n_speakers=8)
@@ -55,7 +59,7 @@ def test_mesh_rejects_indivisible_batch():
     from __graft_entry__ import _configs
     from metatts_tpu.algorithms.meta import MetaSystem
 
-    pcfg, mcfg, tcfg, acfg = _configs(tiny=True)
+    pcfg, mcfg, tcfg, acfg = _configs("tiny")
     sysm = MetaSystem(pcfg, mcfg, tcfg, acfg, n_speakers=8)
     sysm.enable_mesh(8)
     sup, qry = _stack(0, E=6), _stack(1, E=6)   # 6 % 8 != 0
