@@ -24,6 +24,18 @@ GE2E_EMBED = 256
 GE2E_LAYERS = 3
 
 
+def ge2e_dims(model_cfg):
+    """(mel_channels, hidden, embed, layers) — defaults are the resemblyzer
+    pretrained layout; ``model.ge2e`` overrides them for dev-scale tests
+    (embed must equal the transformer hidden for the additive speaker
+    conditioning, as it does at base scale: 256 == 256)."""
+    g = model_cfg.get("ge2e", {})
+    return (g.get("mel_channels", GE2E_MEL_CHANNELS),
+            g.get("hidden", GE2E_HIDDEN),
+            g.get("embed", GE2E_EMBED),
+            g.get("layers", GE2E_LAYERS))
+
+
 def speaker_encoder_init(rng, model_cfg, algorithm_cfg, n_speakers):
     if not model_cfg["multi_speaker"]:
         return None
@@ -34,11 +46,11 @@ def speaker_encoder_init(rng, model_cfg, algorithm_cfg, n_speakers):
     if emb_type == "shared":
         return {"table": nn.embedding_init(rng, 1, d)["table"]}
     if emb_type in ("encoder", "dvec", "scratch_encoder"):
+        mel_c, hidden, embed, layers = ge2e_dims(model_cfg)
         k1, k2 = jax.random.split(rng)
         return {
-            "lstm": nn.lstm_init(k1, GE2E_MEL_CHANNELS, GE2E_HIDDEN,
-                                 GE2E_LAYERS),
-            "linear": nn.linear_init(k2, GE2E_HIDDEN, GE2E_EMBED),
+            "lstm": nn.lstm_init(k1, mel_c, hidden, layers),
+            "linear": nn.linear_init(k2, hidden, embed),
         }
     raise ValueError(f"unknown speaker_emb {emb_type!r}")
 

@@ -52,13 +52,12 @@ def algorithm_cfg(alg_type="meta", **adapt_over):
 
 
 def synth_batch(rng, B=2, L=12, T=48, n_mels=8, n_speakers=4,
-                episode_axis=None):
-    """Teacher-forced batch with consistent durations summing to <= T."""
-    def make(shape, fn):
-        if episode_axis:
-            return np.stack([fn(shape) for _ in range(episode_axis)])
-        return fn(shape)
+                episode_axis=None, dvec_dims=None):
+    """Teacher-forced batch with consistent durations summing to <= T.
 
+    ``dvec_dims=(S, T_ref, C_ref)`` emits tuple speaker_args
+    ``(ref_mels (B,S,T_ref,C_ref), slice_valid (B,S))`` for the
+    encoder/dvec/scratch_encoder speaker modes."""
     def one(shape=None):
         d = rng.randint(1, 5, size=(B, L)).astype(np.int32)
         # scale durations so totals are <= T
@@ -70,8 +69,17 @@ def synth_batch(rng, B=2, L=12, T=48, n_mels=8, n_speakers=4,
         pitch = rng.randn(B, L).astype(np.float32)
         energy = rng.randn(B, L).astype(np.float32)
         speakers = rng.randint(0, n_speakers, size=(B,)).astype(np.int32)
+        if dvec_dims:
+            S, T_ref, C_ref = dvec_dims
+            ref = rng.randn(B, S, T_ref, C_ref).astype(np.float32)
+            valid = np.ones((B, S), bool)
+            if S > 1:
+                valid[:, -1] = rng.rand(B) > 0.5   # ragged slice counts
+            speaker_args = (jnp.asarray(ref), jnp.asarray(valid))
+        else:
+            speaker_args = jnp.asarray(speakers)
         return Batch(
-            speaker_args=jnp.asarray(speakers),
+            speaker_args=speaker_args,
             texts=jnp.asarray(texts),
             src_lens=jnp.asarray(src_lens),
             mels=jnp.asarray(mels),
@@ -82,9 +90,8 @@ def synth_batch(rng, B=2, L=12, T=48, n_mels=8, n_speakers=4,
         )
 
     if episode_axis:
+        import jax
         batches = [one() for _ in range(episode_axis)]
-        return Batch(*[
-            jnp.stack([getattr(b, f) for b in batches])
-            for f in Batch._fields
-        ])
+        # tree-aware stack (speaker_args may be a (ref_mels, valid) tuple)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
     return one()

@@ -218,6 +218,47 @@ def test_test_adapt_one_shot_mode():
     assert _tree_l1(finals[1], finals[2]) > 0
 
 
+GE2E_TINY = {"mel_channels": 8, "hidden": 16, "embed": 32, "layers": 2}
+DVEC_DIMS = (2, 16, 8)   # (slices, ref frames, ref mel channels)
+
+
+@pytest.mark.parametrize("mode", ["dvec", "encoder"])
+def test_dvec_speaker_modes_through_systems(mode):
+    """speaker_emb encoder/dvec — tuple speaker_args (ref_mels, slice_valid)
+    — driven through the full system surface: train_step (second-order),
+    validation_step, and the shared test_adapt.  The reference ablates
+    these modes (speaker_encoder.py: trainable vs frozen VoiceEncoder);
+    dvec must leave the GE2E params untouched (stop-gradient), encoder must
+    train them."""
+    cls = get_system("meta")
+    sys = cls(tiny_preprocess_cfg(), tiny_model_cfg(ge2e=GE2E_TINY),
+              tiny_train_cfg(), algorithm_cfg("meta", speaker_emb=mode),
+              stats=STATS, n_speakers=4)
+    rng = np.random.RandomState(21)
+    sup = synth_batch(rng, B=2, episode_axis=2, dvec_dims=DVEC_DIMS)
+    qry = synth_batch(rng, B=2, episode_axis=2, dvec_dims=DVEC_DIMS)
+    before = jax.device_get(sys.params["speaker_emb"])
+    losses = sys.train_step(sup, qry)
+    assert np.isfinite(float(losses.total))
+    delta = _tree_l1(sys.params["speaker_emb"], before)
+    if mode == "dvec":
+        assert delta == 0.0, "frozen GE2E params moved in dvec mode"
+    else:
+        assert delta > 0, "trainable GE2E params unchanged in encoder mode"
+
+    v = sys.validation_step(synth_batch(rng, B=2, dvec_dims=DVEC_DIMS),
+                            synth_batch(rng, B=2, dvec_dims=DVEC_DIMS))
+    assert np.isfinite(float(v.total))
+
+    rows, snaps = sys.test_adapt(synth_batch(rng, B=2, dvec_dims=DVEC_DIMS),
+                                 synth_batch(rng, B=1, dvec_dims=DVEC_DIMS))
+    assert [s for s, _ in rows] == [0, 5, 10]
+    assert all(np.isfinite(float(l.total)) for _, l in rows)
+    if mode == "dvec":
+        assert _tree_l1(snaps[-1][1]["speaker_emb"],
+                        before) == 0.0
+
+
 def test_test_adapt_tasks_standard_mode_single(meta_sys):
     """Without 1-shot, test_adapt_tasks yields exactly one sub-task with an
     empty suffix (the reference's single _test_step output)."""
