@@ -222,6 +222,7 @@ class Trainer:
             sup.speaker_args[:1].repeat(qry.texts.shape[0], axis=0))
 
         def vocode_and_save(params, tag, teacher):
+            from .synth_utils import prepare_tracks
             out, _ = self.system.adaptor.forward(
                 params, self.system.state, qry_c, train=False,
                 teacher_forced=teacher, average_spk_emb=True)
@@ -235,6 +236,14 @@ class Trainer:
                 path = self.saver.save_audio("Testing", task_id, name, w,
                                              ckpt_step=ckpt_step)
                 self.logger.log_artifact(0, "audio", path)
+                # spectrogram + pitch/energy figure per saving step
+                # (reference test figure tree, saver.py:130-194)
+                mel, pitch, energy = prepare_tracks(
+                    out, self.system.stats, self.system.pcfg, index=j)
+                fig = self.saver.save_track_figure(
+                    "Testing", task_id, name, mel, pitch, energy,
+                    ckpt_step=ckpt_step)
+                self.logger.log_artifact(0, "figure", fig)
 
         # teacher-forced reconstruction once, from the un-adapted params
         # (reference recon_samples at ft_step == 0, saver.py:158-165)

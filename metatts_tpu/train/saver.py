@@ -62,6 +62,23 @@ class Saver:
         save_wav(path, wav, self.sampling_rate, self.max_wav_value)
         return path
 
+    def save_track_figure(self, split, task_id, name, mel, pitch, energy,
+                          ckpt_step="last"):
+        """Dual-axis mel + pitch/energy figure into the figure tree — the
+        per-saving-step spectrogram the reference Saver writes alongside
+        each test wav (``saver.py:130-194`` via ``utils/tools.py:217-267``).
+        """
+        d = os.path.join(self.result_dir, "figure", split,
+                         f"step_{ckpt_step}", task_id)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{name}.png")
+        try:
+            from .synth_utils import plot_mel_with_tracks
+            return plot_mel_with_tracks(mel, pitch, energy, path, title=name)
+        except ImportError:
+            np.save(path + ".npy", np.asarray(mel))
+            return path + ".npy"
+
     def save_mel_figure(self, split, task_id, name, mel, ckpt_step="last"):
         """mel: (T, n_mels). Saved as PNG via matplotlib (optional dep)."""
         d = os.path.join(self.result_dir, "figure", split,

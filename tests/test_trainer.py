@@ -133,3 +133,12 @@ def test_test_stage_all_systems_with_per_step_audio(alg, tmp_path):
     for ft in (0, 5, 10):
         assert any(f"-FTstep_{ft}.synth.wav" in n for n in names), \
             f"{alg}: missing synth audio at adaptation step {ft}: {names}"
+    # per-saving-step spectrogram figures alongside the audio (reference
+    # test figure tree, saver.py:130-194)
+    fig_dir = os.path.join(out, "result", alg, "figure", "Testing",
+                           "step_last", "test_000")
+    figs = sorted(os.listdir(fig_dir))
+    assert any(".recon." in n for n in figs)
+    for ft in (0, 5, 10):
+        assert any(f"-FTstep_{ft}.synth" in n for n in figs), \
+            f"{alg}: missing figure at adaptation step {ft}: {figs}"
