@@ -33,6 +33,10 @@ def main():
                          "regrouping (default: auto-derived from --result "
                          "by replacing /result/ with /log/)")
     ap.add_argument("--dvector-weights", type=str, default=None)
+    ap.add_argument("--mosnet-weights", type=str, default=None,
+                    help="converted official MOSNet npz "
+                         "(tools/convert_torch_weights.py mosnet) — enables "
+                         "the JAX-native scorer")
     ap.add_argument("--out", type=str, default="eval_out")
     ap.add_argument("--max-per-speaker", type=int, default=16)
     ap.add_argument("--mos", action="store_true",
@@ -117,7 +121,7 @@ def main():
 
     if args.mos:
         rows += mos_rows(args.real, args.result, args.step,
-                         args.max_per_speaker)
+                         args.max_per_speaker, args.mosnet_weights)
 
     path = h.write_report(os.path.join(args.out, "eer.txt"), rows)
     print(f"wrote {path}")
@@ -139,14 +143,21 @@ def discover_ft_steps(result_dir, step):
     return sorted(steps)
 
 
-def mos_rows(real_dir, result_dir, step, max_per_speaker):
+def mos_rows(real_dir, result_dir, step, max_per_speaker,
+             mosnet_weights=None):
     """Pseudo-MOS over real + synthesized wavs (reference
     evaluation/compute_mos.py:25,52)."""
     import numpy as np
     from metatts_tpu.evaluation.mos import (available_scorers, score,
-                                            try_register_mosnet)
+                                            try_register_mosnet,
+                                            try_register_mosnet_native,
+                                            try_register_mbnet)
     from metatts_tpu.preprocess.audio_io import load_wav
     try_register_mosnet()
+    try_register_mbnet()
+    # JAX-native MOSNet wins the "mosnet" slot when converted official
+    # weights are dropped (tools/convert_torch_weights.py mosnet)
+    try_register_mosnet_native(mosnet_weights)
     rows = []
 
     def score_files(files, tag):

@@ -8,6 +8,8 @@ pipeline runs end-to-end without them (clearly labeled as a proxy, never a
 substitute for the published numbers).
 """
 
+import os
+
 import numpy as np
 
 _SCORERS = {}
@@ -63,6 +65,63 @@ def try_register_mosnet():
     @register_scorer("mosnet")
     def _mosnet(wav, sr):
         return float(metrics(wav, rate=sr)["mosnet"].mean())
+
+    return True
+
+
+def try_register_mosnet_native(weights_path=None):
+    """Register the JAX-native MOSNet (evaluation/mosnet.py) when converted
+    official weights are present — the file-drop path for the Keras
+    ``cnn_blstm.h5`` that speechmetrics loads (reference
+    ``compute_mos.py:25``; convert with
+    ``tools/convert_torch_weights.py mosnet``).  Takes priority over the
+    speechmetrics hook under the same scorer name."""
+    weights_path = weights_path or os.environ.get("METATTS_MOSNET_WEIGHTS")
+    if not weights_path or not os.path.exists(weights_path):
+        return False
+    from .mosnet import MOSNet
+    model = MOSNet(weights_path)
+
+    @register_scorer("mosnet")
+    def _mosnet_native(wav, sr):
+        return model.score(wav, sr)
+
+    return True
+
+
+def try_register_mbnet(weights_path=None):
+    """Register MBNet pseudo-MOS (reference ``compute_mos.py:144-166``):
+    the reference imports ``Pytorch_MBNet.model.MBNet(num_judges=5000)``,
+    loads ``Pytorch_MBNet/pre_trained/model-50000.pt``, and scores the
+    16 kHz magnitude STFT (n_fft=512) with ``only_mean_inference``.  This
+    hook mirrors that exactly when the package + checkpoint are present
+    (they are external downloads, absent in this image)."""
+    try:
+        import torch
+        from Pytorch_MBNet.model import MBNet  # noqa: external package
+    except ImportError:
+        return False
+    weights_path = weights_path or os.path.join(
+        "Pytorch_MBNet", "pre_trained", "model-50000.pt")
+    if not os.path.exists(weights_path):
+        return False
+    mbnet = MBNet(num_judges=5000)
+    mbnet.load_state_dict(torch.load(weights_path, map_location="cpu"))
+    mbnet.eval()
+
+    @register_scorer("mbnet")
+    def _mbnet(wav, sr):
+        from ..preprocess.audio_io import resample
+        if sr != 16000:
+            wav = resample(np.asarray(wav, np.float32), sr, 16000)
+        # |STFT| magnitude, n_fft=512, torch defaults (hop 128, centered),
+        # shape (1, T, 257) — the reference's MBNetDataset.__getitem__
+        x = torch.tensor(np.asarray(wav, np.float32))
+        spec = torch.stft(x, n_fft=512, hop_length=128,
+                          window=torch.hann_window(512),
+                          return_complex=True).abs().T[None]
+        with torch.no_grad():
+            return float(mbnet.only_mean_inference(spectrum=spec).mean())
 
     return True
 

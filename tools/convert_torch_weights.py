@@ -14,6 +14,7 @@ Usage:
   python tools/convert_torch_weights.py melgan melgan.pt   out/melgan.npz
   python tools/convert_torch_weights.py hifigan g_02500000 out/hifigan.npz
   python tools/convert_torch_weights.py fastspeech2 meta.ckpt out/fs2.npz
+  python tools/convert_torch_weights.py mosnet cnn_blstm.h5 out/mosnet.npz
 """
 
 import sys
@@ -74,6 +75,65 @@ def convert_melgan(src, dst):
 convert_hifigan = convert_melgan  # same folding logic, different key layout
 
 
+def convert_mosnet_h5(src, dst):
+    """Official MOSNet CNN-BLSTM Keras checkpoint (``cnn_blstm.h5``, the
+    artifact speechmetrics loads — reference ``evaluation/compute_mos.py:25``)
+    -> npz for ``metatts_tpu/evaluation/mosnet.py``.
+
+    Walks the legacy Keras HDF5 weight layout (``layer_names`` /
+    ``weight_names`` attrs preserve creation order) and classifies layers by
+    shape: 12 Conv2D (4-dim kernels, channels 16/32/64/128), one
+    Bidirectional LSTM (6 arrays), two TimeDistributed Dense (2-dim
+    kernels 512->128 and 128->1)."""
+    import h5py
+
+    def _names(attrs, key):
+        return [n.decode() if isinstance(n, bytes) else n
+                for n in attrs[key]]
+
+    out = {}
+    conv_i = 0
+    with h5py.File(src, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+        for lname in _names(root.attrs, "layer_names"):
+            g = root[lname]
+            wnames = _names(g.attrs, "weight_names")
+            arrays = [(w, np.array(g[w])) for w in wnames]
+            if not arrays:
+                continue
+            kernels = [a for _, a in arrays if a.ndim == 4]
+            if kernels:                                   # Conv2D
+                bias = next(a for _, a in arrays if a.ndim == 1)
+                out[f"conv{conv_i}.kernel"] = kernels[0]
+                out[f"conv{conv_i}.bias"] = bias
+                conv_i += 1
+            elif len(arrays) == 6:                        # Bidirectional LSTM
+                for direction, tag in (("forward", "fwd"), ("backward", "bwd")):
+                    sub = [(w, a) for w, a in arrays if direction in w]
+                    assert len(sub) == 3, (lname, wnames)
+                    by = {2: {}, 1: {}}
+                    for w, a in sub:
+                        if a.ndim == 1:
+                            by[1]["bias"] = a
+                        elif "recurrent" in w or a.shape[0] == a.shape[1] // 4:
+                            by[2].setdefault("recurrent", a)
+                        else:
+                            by[2].setdefault("kernel", a)
+                    out[f"blstm.{tag}.kernel"] = by[2]["kernel"]
+                    out[f"blstm.{tag}.recurrent"] = by[2]["recurrent"]
+                    out[f"blstm.{tag}.bias"] = by[1]["bias"]
+            else:                                         # Dense
+                kern = next(a for _, a in arrays if a.ndim == 2)
+                bias = next(a for _, a in arrays if a.ndim == 1)
+                name = "frame" if kern.shape[1] == 1 else "dense1"
+                out[f"{name}.kernel"] = kern
+                out[f"{name}.bias"] = bias
+    assert conv_i == 12, f"expected 12 conv layers, found {conv_i}"
+    assert "frame.kernel" in out and "dense1.kernel" in out
+    np.savez(dst, **out)
+    print(f"wrote {dst}: {len(out)} arrays")
+
+
 def convert_fastspeech2(src, dst):
     """Reference Lightning checkpoint -> npz of raw arrays; mapping into our
     pytree happens at load via tools/load_reference_fs2.py naming rules."""
@@ -87,5 +147,5 @@ if __name__ == "__main__":
         raise SystemExit(__doc__)
     kind, src, dst = sys.argv[1:]
     {"ge2e": convert_ge2e, "melgan": convert_melgan,
-     "hifigan": convert_hifigan,
+     "hifigan": convert_hifigan, "mosnet": convert_mosnet_h5,
      "fastspeech2": convert_fastspeech2}[kind](src, dst)
