@@ -163,6 +163,24 @@ def main():
     b_dt = (time.time() - t0) / 10
     b_frames = int(np.asarray(bbatch.mel_lens).sum())
 
+    # reference-parity 1-chip recipe (README.md:73-77): effective meta batch
+    # 8 as meta_batch_size 1 x grad_acc_step 8 (optax.MultiSteps) — the
+    # single-chip equivalent of the 8xV100 DDP recipe, timed as ONE
+    # effective update (8 chained micro-steps; donation chains them).
+    tcfg_acc = copy.deepcopy(tcfg)
+    tcfg_acc["optimizer"]["grad_acc_step"] = 8
+    accsys = MetaSystem(pcfg, mcfg, tcfg_acc, acfg, n_speakers=256)
+    al = accsys.train_step(sup, qry)          # compile (E=1 episode stack)
+    jax.block_until_ready(al.total)
+    for _ in range(2):
+        al = accsys.train_step(sup, qry)
+    jax.block_until_ready(al.total)
+    t0 = time.time()
+    for _ in range(8):                         # one effective batch-8 step
+        al = accsys.train_step(sup, qry)
+    jax.block_until_ready(al.total)
+    acc_dt = time.time() - t0
+
     # XLA's own FLOP count for the compiled meta step — hardens the analytic
     # baseline (BASELINE.md documents the hand derivation; this is the
     # compiler's number for the same program)
@@ -196,6 +214,10 @@ def main():
         "synth_forward_ms_chained": round(synth_forward_ms, 2),
         "baseline_step_ms_B80": round(b_dt * 1e3, 2),
         "baseline_mel_frames_per_sec": round(b_frames / b_dt, 1),
+        # one EFFECTIVE meta update at the reference recipe (batch 8 via
+        # grad_acc_step 8 on one chip; README.md:73-77 arithmetic)
+        "gradacc8_effective_step_ms": round(acc_dt * 1e3, 2),
+        "gradacc8_frames_per_sec": round(frames_per_step * 8 / acc_dt, 1),
     }))
 
 

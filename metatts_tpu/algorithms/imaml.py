@@ -173,6 +173,10 @@ class IMAMLSystem(System):
         return losses
 
     def validation_step(self, sup_batch, qry_batch):
+        # Intentional: validation runs the PLAIN (non-proximal) first-order
+        # inner loop, not the reg_param-regularized iMAML one — the
+        # reference's val path shares vanilla meta_learn the same way
+        # (baseline.py:41-53 via base_adaptor.py:114-124).
         task = self.acfg["adapt"]["train"]
 
         def val(params, state, sup, qry, rng):

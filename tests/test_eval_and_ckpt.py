@@ -54,6 +54,37 @@ def test_dvector_encoder_runs():
     np.testing.assert_allclose(np.linalg.norm(d), 1.0, atol=1e-5)
 
 
+def test_regroup_by_speaker_full_label_and_subtasks():
+    """Pools are keyed by the FULL episode label so speakers with colliding
+    numeric ids across corpora are never merged, and 1-shot sub-task ids
+    ('test_NNN_k') resolve to episode NNN."""
+    from metatts_tpu.evaluation.harness import EvaluationHarness
+    descs = [{"label": "LibriTTS_en-spk_7"}, {"label": "VCTK_en-spk_7"}]
+    groups = {
+        "test_000": np.ones((2, 4)),
+        "test_001": np.zeros((3, 4)),
+        "test_000_1": np.full((1, 4), 2.0),   # 1-shot sub-task of episode 0
+    }
+    out = EvaluationHarness.regroup_by_speaker(groups, descs)
+    assert set(out) == {"LibriTTS_en-spk_7", "VCTK_en-spk_7"}
+    assert out["LibriTTS_en-spk_7"].shape == (3, 4)   # 2 + 1 (sub-task)
+    assert out["VCTK_en-spk_7"].shape == (3, 4)
+    # enrollment dirs named by bare id still match via the -spk_ suffix
+    sims = EvaluationHarness.similarity_to_enrollment(
+        {"7": np.ones((2, 4))}, {"LibriTTS_en-spk_7": np.ones((2, 4))})
+    assert "LibriTTS_en-spk_7" in sims
+
+
+def test_discover_ft_steps(tmp_path):
+    import evaluate as ev   # repo root is on sys.path via conftest
+    d = tmp_path / "audio" / "Testing" / "step_last" / "test_000"
+    d.mkdir(parents=True)
+    for n in (0, 5, 100):
+        (d / f"u.step_last-FTstep_{n}.synth.wav").write_bytes(b"")
+    (d / "u.recon.wav").write_bytes(b"")
+    assert ev.discover_ft_steps(str(tmp_path), "step_last") == [0, 5, 100]
+
+
 def test_checkpoint_roundtrip(tmp_path):
     params = {"a": {"w": jnp.ones((3, 4))}, "b": jnp.zeros((2,))}
     state = {"s": jnp.full((2,), 7.0)}
