@@ -62,17 +62,18 @@ def main(args, configs):
                       output_dir=args.output_dir, exp_name=args.exp_name,
                       vocoder=vocoder)
 
+    if args.stage in ("test", "predict") and args.ckpt_path:
+        from metatts_tpu.train.checkpoint import load_checkpoint
+        p, st, opt, step, rep = load_checkpoint(
+            args.ckpt_path, system.params, system.state,
+            system.opt_state)
+        system.params, system.state = p, st
+        for r in rep:
+            print(f"[ckpt surgery] {r}")
+
     if args.stage == "train":
         trainer.fit(resume_from=args.ckpt_path, max_steps=args.max_steps)
     elif args.stage == "test":
-        if args.ckpt_path:
-            from metatts_tpu.train.checkpoint import load_checkpoint
-            p, st, opt, step, rep = load_checkpoint(
-                args.ckpt_path, system.params, system.state,
-                system.opt_state)
-            system.params, system.state = p, st
-            for r in rep:
-                print(f"[ckpt surgery] {r}")
         trainer.test(max_tasks=args.max_tasks,
                      tasks_per_label=args.tasks_per_label)
     elif args.stage == "debug":
