@@ -121,7 +121,8 @@ def main():
 
     if args.mos:
         rows += mos_rows(args.real, args.result, args.step,
-                         args.max_per_speaker, args.mosnet_weights)
+                         args.max_per_speaker, args.mosnet_weights,
+                         out_dir=args.out)
 
     path = h.write_report(os.path.join(args.out, "eer.txt"), rows)
     print(f"wrote {path}")
@@ -144,46 +145,68 @@ def discover_ft_steps(result_dir, step):
 
 
 def mos_rows(real_dir, result_dir, step, max_per_speaker,
-             mosnet_weights=None):
+             mosnet_weights=None, out_dir=None):
     """Pseudo-MOS over real + synthesized wavs (reference
-    evaluation/compute_mos.py:25,52)."""
-    import numpy as np
-    from metatts_tpu.evaluation.mos import (available_scorers, score,
+    evaluation/compute_mos.py:25,52).
+
+    Mirrors the reference aggregation: every mode row carries the mean and
+    the 95% t-interval half-width (``compute_mos.py:173-178``), synth audio
+    is scored PER adaptation step (``<mode>_step{i}`` rows,
+    ``compute_mos.py:83-94``), and a MOS-vs-step figure with real/recon
+    bands is written (``compute_mos.py:241-315``)."""
+    from metatts_tpu.evaluation.mos import (available_scorers,
+                                            mean_confidence_interval,
+                                            score,
                                             try_register_mosnet,
                                             try_register_mosnet_native,
-                                            try_register_mbnet)
+                                            try_register_mbnet,
+                                            try_register_wav2vec2)
     from metatts_tpu.preprocess.audio_io import load_wav
     try_register_mosnet()
     try_register_mbnet()
+    try_register_wav2vec2()
     # JAX-native MOSNet wins the "mosnet" slot when converted official
     # weights are dropped (tools/convert_torch_weights.py mosnet)
     try_register_mosnet_native(mosnet_weights)
     rows = []
+    bands = {}         # label -> scorer -> (mean, ci)  [real/recon]
+    step_scores = {}   # scorer -> [(ft_step, mean, ci)]
 
-    def score_files(files, tag):
+    def score_files(files, tag, band=None, ft_step=None):
         for name in available_scorers():
             vals = []
             for f in files[:max_per_speaker]:
                 wav, sr = load_wav(f)
                 vals.append(score(name, wav, sr))
             if vals:
-                rows.append((f"mos_{name}_{tag}",
-                             f"{np.mean(vals):.3f}"))
+                m, ci = mean_confidence_interval(vals)
+                rows.append((f"mos_{name}_{tag}", f"{m:.3f} ±{ci:.3f}"))
+                if band is not None:
+                    bands.setdefault(band, {})[name] = (m, ci)
+                if ft_step is not None:
+                    step_scores.setdefault(name, []).append((ft_step, m, ci))
 
-    real_files = []
-    for spk in sorted(os.listdir(real_dir)):
-        d = os.path.join(real_dir, spk)
-        if os.path.isdir(d):
-            real_files += [os.path.join(d, f) for f in sorted(os.listdir(d))
-                           if f.endswith(".wav")]
-    score_files(real_files, "real")
+    if real_dir:
+        real_files = []
+        for spk in sorted(os.listdir(real_dir)):
+            d = os.path.join(real_dir, spk)
+            if os.path.isdir(d):
+                real_files += [os.path.join(d, f)
+                               for f in sorted(os.listdir(d))
+                               if f.endswith(".wav")]
+        score_files(real_files, "real", band="real")
     if result_dir:
         import glob
-        for kind in ("recon", "synth"):
+        audio_glob = os.path.join(result_dir, "audio", "Testing", step, "*")
+        score_files(sorted(glob.glob(os.path.join(audio_glob, "*.recon.wav"))),
+                    "recon", band="recon")
+        for ft in discover_ft_steps(result_dir, step):
             files = sorted(glob.glob(os.path.join(
-                result_dir, "audio", "Testing", step, "*",
-                f"*.{kind}.wav")))
-            score_files(files, kind)
+                audio_glob, f"*-FTstep_{ft}.synth.wav")))
+            score_files(files, f"synth_step{ft}", ft_step=ft)
+    if out_dir and step_scores:
+        from metatts_tpu.evaluation.visualize import mos_step_plot
+        mos_step_plot(step_scores, bands, os.path.join(out_dir, "mos.png"))
     return rows
 
 
@@ -229,6 +252,18 @@ def run_matrix(args):
     from metatts_tpu.evaluation.visualize import det_plot, roc_plot
     det_plot(curve_results, os.path.join(out_dir, "det.png"))
     roc_plot(curve_results, os.path.join(out_dir, "roc.png"))
+    if args.mos or cfg.get("mos"):
+        # reference compute_mos.py scores real once, then every mode x step
+        # tree; per-mode MOS-vs-step figures land under <out>/<mode>/mos.png
+        rows += mos_rows(cfg["real_dir"], None, None,
+                         cfg.get("n_sample", 16), args.mosnet_weights)
+        for mode, result_dir in cfg.get("modes", {}).items():
+            for step in cfg.get("step_list", ["step_last"]):
+                mode_rows = mos_rows(None, result_dir, step,
+                                     cfg.get("n_sample", 16),
+                                     args.mosnet_weights,
+                                     out_dir=os.path.join(out_dir, mode))
+                rows += [(f"{mode}_{step}_{lbl}", v) for lbl, v in mode_rows]
     path = h.write_report(os.path.join(out_dir, "eer.txt"), rows)
     print(f"wrote {path}")
     for label, value in rows:

@@ -26,6 +26,22 @@ def available_scorers():
     return sorted(_SCORERS)
 
 
+def mean_confidence_interval(data, confidence=0.95):
+    """Mean and half-width of the t-distribution confidence interval —
+    the reference's ``get_mean_confidence_interval``
+    (``evaluation/compute_mos.py:173-178``), used for every
+    ``txt/<corpus>/<net>.txt`` row."""
+    import scipy.stats
+    a = np.asarray(data, np.float64)
+    n = len(a)
+    m = float(np.mean(a))
+    if n < 2:
+        return m, 0.0
+    se = scipy.stats.sem(a)
+    h = float(se * scipy.stats.t.ppf((1 + confidence) / 2.0, n - 1))
+    return m, h
+
+
 def score(name, wav, sr):
     if name not in _SCORERS:
         raise KeyError(

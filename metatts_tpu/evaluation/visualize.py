@@ -93,6 +93,48 @@ def det_plot(results_by_label, out_path):
     return out_path
 
 
+def mos_step_plot(step_scores, bands, out_path):
+    """MOS vs adaptation-step figure (reference
+    ``evaluation/compute_mos.py:241-315`` ``plot``): one line per scorer
+    over the fine-tuning steps, with horizontal mean±CI bands for the
+    step-independent modes (real / reconstructed).
+
+    ``step_scores``: dict scorer -> list of (ft_step, mean, ci).
+    ``bands``: dict label -> dict scorer -> (mean, ci).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(4.8, 4.2))
+    band_styles = {"real": ("k", "-"), "recon": ("gray", "--")}
+    for label, per_scorer in sorted(bands.items()):
+        color, ls = band_styles.get(label, ("tab:blue", ":"))
+        for scorer, (m, ci) in sorted(per_scorer.items()):
+            ax.axhline(m, color=color, linestyle=ls, alpha=0.7,
+                       label=f"{label} ({scorer})")
+            if ci:
+                ax.axhspan(m - ci, m + ci, color=color, alpha=0.12)
+    for scorer, pts in sorted(step_scores.items()):
+        if not pts:
+            continue
+        pts = sorted(pts)
+        xs = [p[0] for p in pts]
+        ms = np.array([p[1] for p in pts])
+        cis = np.array([p[2] for p in pts])
+        ax.plot(xs, ms, marker="o", label=f"synth ({scorer})")
+        ax.fill_between(xs, ms - cis, ms + cis, alpha=0.2)
+    ax.set_xlabel("adaptation steps")
+    ax.set_ylabel("pseudo-MOS")
+    ax.grid(True, alpha=0.3)
+    ax.legend(fontsize=7)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=130)
+    plt.close(fig)
+    return out_path
+
+
 def roc_plot(results_by_label, out_path):
     """ROC curve figure (reference speaker_verification.py ROC/AUC plots)."""
     import matplotlib

@@ -85,6 +85,53 @@ def test_discover_ft_steps(tmp_path):
     assert ev.discover_ft_steps(str(tmp_path), "step_last") == [0, 5, 100]
 
 
+def test_mean_confidence_interval():
+    from metatts_tpu.evaluation.mos import mean_confidence_interval
+    import scipy.stats
+    data = [3.0, 3.2, 2.8, 3.5, 3.1]
+    m, h = mean_confidence_interval(data)
+    np.testing.assert_allclose(m, np.mean(data))
+    se = scipy.stats.sem(data)
+    np.testing.assert_allclose(
+        h, se * scipy.stats.t.ppf(0.975, len(data) - 1))
+    # degenerate single sample: zero-width interval, no nan
+    m1, h1 = mean_confidence_interval([4.0])
+    assert m1 == 4.0 and h1 == 0.0
+
+
+def test_mos_rows_per_ftstep(tmp_path):
+    """mos_rows mirrors compute_mos.py: per-adaptation-step synth rows with
+    mean ±CI, real/recon bands, and the MOS-vs-step figure."""
+    import evaluate as ev
+    from metatts_tpu.preprocess.audio_io import save_wav
+
+    sr = 22050
+    t = np.arange(sr // 4) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    real = tmp_path / "real" / "spk1"
+    real.mkdir(parents=True)
+    for i in range(2):
+        save_wav(str(real / f"u{i}.wav"), tone, sr)
+    res = tmp_path / "result"
+    task = res / "audio" / "Testing" / "step_last" / "test_000"
+    task.mkdir(parents=True)
+    save_wav(str(task / "u0.recon.wav"), tone, sr)
+    for n in (0, 100):
+        save_wav(str(task / f"u0.step_last-FTstep_{n}.synth.wav"), tone, sr)
+
+    out = tmp_path / "out"
+    rows = ev.mos_rows(str(tmp_path / "real"), str(res), "step_last",
+                       max_per_speaker=4, out_dir=str(out))
+    labels = dict(rows)
+    for want in ("mos_spectral_proxy_real", "mos_spectral_proxy_recon",
+                 "mos_spectral_proxy_synth_step0",
+                 "mos_spectral_proxy_synth_step100"):
+        assert want in labels, (want, sorted(labels))
+        mean_str, ci_str = labels[want].split(" ±")
+        assert 1.0 <= float(mean_str) <= 5.0 and float(ci_str) >= 0.0
+    assert (out / "mos.png").exists()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     params = {"a": {"w": jnp.ones((3, 4))}, "b": jnp.zeros((2,))}
     state = {"s": jnp.full((2,), 7.0)}

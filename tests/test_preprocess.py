@@ -292,3 +292,53 @@ def test_meta_datamodule_episode_batches(corpus):
     assert sup.texts.shape[1] == 2           # shots
     assert qry.texts.shape[:2] == (2, 2)
     assert sup.texts.shape[2] == qry.texts.shape[2]  # shared bucket
+
+
+def test_prepare_align_vctk_mic2_flac(tmp_path):
+    """End-to-end VCTK drive (reference ``preprocessor/vctk.py:11-46``):
+    a wav48_silence_trimmed mic2-FLAC corpus is decoded natively
+    (csrc/flac.cpp), resampled 48k->22050, peak-normalized, and labelled —
+    with the mic1 feed skipped."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from flac_encoder import encode_flac
+    from metatts_tpu.preprocess.prepare_align import prepare_align
+
+    corpus = tmp_path / "corpus" / "VCTK"
+    raw = tmp_path / "raw_data" / "VCTK"
+    sr_in = 48000
+    t = np.arange(sr_in // 2) / sr_in
+    tone = (0.3 * 32767 * np.sin(2 * np.pi * 220 * t)).astype(np.int32)
+    for spk in ("p225", "p226"):
+        wdir = corpus / "wav48_silence_trimmed" / spk
+        tdir = corpus / "txt" / spk
+        wdir.mkdir(parents=True)
+        tdir.mkdir(parents=True)
+        for utt in ("001", "002"):
+            for mic in ("mic1", "mic2"):
+                (wdir / f"{spk}_{utt}_{mic}.flac").write_bytes(
+                    encode_flac(tone, sr_in))
+            (tdir / f"{spk}_{utt}.txt").write_text("Please call Stella.\n")
+        # mic2-less utterance (only mic1): must be skipped entirely
+        (wdir / f"{spk}_003_mic1.flac").write_bytes(encode_flac(tone, sr_in))
+        (tdir / f"{spk}_003.txt").write_text("Ask her to bring 2 things.\n")
+
+    cfg = {
+        "dataset": "VCTK",
+        "path": {"corpus_path": str(corpus), "raw_path": str(raw)},
+        "preprocessing": {
+            "audio": {"sampling_rate": SR},
+            "text": {"text_cleaners": ["english_cleaners"]},
+        },
+    }
+    n = prepare_align(cfg)
+    assert n == 4                      # 2 speakers x 2 mic2 utterances
+    for spk in ("p225", "p226"):
+        for utt in ("001", "002"):
+            wav_path = raw / "all" / spk / f"{spk}_{utt}.wav"
+            x, sr = load_wav(str(wav_path))
+            assert sr == SR
+            assert 0.9 < np.abs(x).max() <= 1.0    # peak-normalized
+            lab = (raw / "all" / spk / f"{spk}_{utt}.lab").read_text()
+            assert lab == "please call stella."
+        assert not (raw / "all" / spk / f"{spk}_003.wav").exists()
