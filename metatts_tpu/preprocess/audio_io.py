@@ -70,16 +70,22 @@ def load_flac(path, target_sr=None):
                      ctypes.byref(sr), ctypes.byref(ch), ctypes.byref(bps),
                      ctypes.byref(tot)) != 0:
         raise ValueError(f"not a FLAC stream: {path}")
-    # STREAMINFO may leave total_samples unknown (0): bound by the maximum
-    # compression-free sample count instead
-    max_samples = (tot.value * ch.value if tot.value
-                   else int(len(data) * 8 / max(bps.value, 1)) + 65536)
-    out = np.zeros(max_samples, np.int32)
-    n = lib.flac_decode(data.ctypes.data_as(u8p), len(data),
-                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                        max_samples)
-    if n < 0:
-        raise ValueError(f"FLAC decode error {n}: {path}")
+    # STREAMINFO may leave total_samples unknown (0): start from the
+    # compression-free sample count and grow if the decoder fills the
+    # buffer (flac_decode truncates at max_samples rather than erroring,
+    # and well-compressed streams decode to MORE samples than len*8/bps)
+    known = tot.value * ch.value
+    max_samples = known or int(len(data) * 8 / max(bps.value, 1)) + 65536
+    while True:
+        out = np.zeros(max_samples, np.int32)
+        n = lib.flac_decode(
+            data.ctypes.data_as(u8p), len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_samples)
+        if n < 0:
+            raise ValueError(f"FLAC decode error {n}: {path}")
+        if known or n < max_samples:
+            break
+        max_samples *= 2
     x = out[:n].astype(np.float32)
     if ch.value > 1:
         x = x.reshape(-1, ch.value).mean(axis=1)

@@ -111,8 +111,12 @@ def _subframe(bw, samples, bps, mode):
     _rice_encode(bw, res, k)
 
 
-def encode_flac(x, sr, bps=16, blocksize=1024, mode="fixed2"):
-    """x: int array (n,) mono or (n, 2) stereo -> FLAC stream bytes."""
+def encode_flac(x, sr, bps=16, blocksize=1024, mode="fixed2",
+                write_total=True):
+    """x: int array (n,) mono or (n, 2) stereo -> FLAC stream bytes.
+
+    ``write_total=False`` leaves the STREAMINFO total-samples field 0
+    ("unknown"), which real encoders emit for live/piped streams."""
     x = np.asarray(x)
     if x.ndim == 1:
         x = x[:, None]
@@ -129,7 +133,7 @@ def encode_flac(x, sr, bps=16, blocksize=1024, mode="fixed2"):
     si.write(sr, 20)
     si.write(nch - 1, 3)
     si.write(bps - 1, 5)
-    si.write(n, 36)
+    si.write(n if write_total else 0, 36)
     si_body = si.getvalue() + b"\x00" * 16       # dummy MD5
     out += bytes([0x80]) + len(si_body).to_bytes(3, "big") + si_body
 

@@ -211,6 +211,24 @@ def test_native_flac_decoder_lossless():
         assert sr == 22050 and len(x) == 11025
 
 
+def test_native_flac_decoder_unknown_total(tmp_path):
+    """STREAMINFO may mark total_samples unknown (0) — real encoders emit
+    that for piped streams.  ``flac_decode`` silently truncates at the
+    caller's buffer bound, and a well-compressed stream decodes to MORE
+    samples than the compression-free estimate len*8/bps, so ``load_flac``
+    must grow the buffer and retry rather than return truncated audio."""
+    from flac_encoder import encode_flac
+    from metatts_tpu.preprocess.audio_io import load_flac
+    n = 220_000                       # > 65536-slack + len*8/bps for a
+    sig = np.full(n, 1234, np.int32)  # highly compressible constant signal
+    p = tmp_path / "unknown_total.flac"
+    p.write_bytes(encode_flac(sig, 48000, write_total=False))
+    assert p.stat().st_size * 8 // 16 + 65536 < n  # bound would truncate
+    x, sr = load_flac(str(p))
+    assert sr == 48000 and len(x) == n
+    np.testing.assert_array_equal(x, np.float32(1234 / 32768.0))
+
+
 def test_prepare_align_vctk_flac(tmp_path):
     """VCTK mic2 flac corpus -> raw_data wav+lab with zero external deps
     (reference preprocessor/vctk.py:11-46)."""
