@@ -55,6 +55,54 @@ def test_sharded_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_baseline_sharded_matches_single_device():
+    """Baseline's flat-batch dp sharding (batch axis P('dp')) must match the
+    single-device step — the other CLI-reachable mesh path besides meta."""
+    from __graft_entry__ import _configs, _batch
+    from metatts_tpu.algorithms.baseline import BaselineSystem
+
+    pcfg, mcfg, tcfg, acfg = _configs("tiny")
+    acfg = {**acfg, "type": "baseline"}
+    batch = _batch(np.random.RandomState(2), B=16, L=16, T=48, n_mels=8)
+
+    sys_single = BaselineSystem(pcfg, mcfg, tcfg, acfg, n_speakers=8)
+    losses_single = sys_single.train_step(batch)
+
+    sys_mesh = BaselineSystem(pcfg, mcfg, tcfg, acfg, n_speakers=8)
+    assert sys_mesh.enable_mesh(8) is not None
+    losses_sharded = sys_mesh.train_step(batch)
+
+    np.testing.assert_allclose(float(losses_single.total),
+                               float(losses_sharded.total), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(sys_single.params),
+                    jax.tree.leaves(sys_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_imaml_sharded_matches_single_device():
+    """iMAML's episode-sharded hypergradient (CG + psum mean, replacing the
+    reference's hand all-reduce, imaml.py:132) must match single-device."""
+    from __graft_entry__ import _configs
+    from metatts_tpu.algorithms.imaml import IMAMLSystem
+
+    pcfg, mcfg, tcfg, acfg = _configs("tiny")
+    acfg = {**acfg, "type": "imaml"}
+    sup, qry = _stack(0), _stack(1)
+
+    sys_single = IMAMLSystem(pcfg, mcfg, tcfg, acfg, n_speakers=8)
+    losses_single = sys_single.train_step(sup, qry)
+
+    sys_mesh = IMAMLSystem(pcfg, mcfg, tcfg, acfg, n_speakers=8)
+    assert sys_mesh.enable_mesh(8) is not None
+    losses_sharded = sys_mesh.train_step(sup, qry)
+
+    np.testing.assert_allclose(float(losses_single.total),
+                               float(losses_sharded.total), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(sys_single.params),
+                    jax.tree.leaves(sys_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_mesh_rejects_indivisible_batch():
     from __graft_entry__ import _configs
     from metatts_tpu.algorithms.meta import MetaSystem
