@@ -37,6 +37,10 @@ def main():
                     help="converted official MOSNet npz "
                          "(tools/convert_torch_weights.py mosnet) — enables "
                          "the JAX-native scorer")
+    ap.add_argument("--mbnet-weights", type=str, default=None,
+                    help="converted official MBNet npz "
+                         "(tools/convert_torch_weights.py mbnet) — enables "
+                         "the JAX-native mean-net scorer")
     ap.add_argument("--out", type=str, default="eval_out")
     ap.add_argument("--max-per-speaker", type=int, default=16)
     ap.add_argument("--mos", action="store_true",
@@ -85,6 +89,7 @@ def main():
         if os.path.exists(dpath):
             descs = json.load(open(dpath))
             print(f"[eval] speaker regrouping via {dpath}")
+        sim_steps, sim_bands = {}, {}
         for kind in ("recon", "synth"):
             if kind == "synth":
                 # evaluate each adaptation saving step separately — pooling
@@ -113,6 +118,22 @@ def main():
                     import numpy as np
                     rows.append((f"{label}_centroid_sim",
                                  f"{np.mean(list(sims.values())):.4f}"))
+                vals = h.similarity_values(real, groups)
+                if len(vals):
+                    from metatts_tpu.evaluation.mos import \
+                        mean_confidence_interval
+                    m, ci = mean_confidence_interval(vals)
+                    if kind == "synth" and ft is not None:
+                        sim_steps.setdefault("synth", []).append((ft, m, ci))
+                    elif kind == "recon":
+                        sim_bands["recon"] = (m, ci)
+        if sim_steps:
+            # similarity-vs-adaptation-step errorbar figure (reference
+            # evaluation/similarity_plot.py errorbar_plot)
+            from metatts_tpu.evaluation.visualize import similarity_step_plot
+            similarity_step_plot(
+                sim_steps, sim_bands,
+                os.path.join(args.out, "similarity_vs_step.png"))
 
     # DET + ROC figures over every evaluated group (reference
     # speaker_verification.py:20 emits both per mode)
@@ -122,6 +143,7 @@ def main():
     if args.mos:
         rows += mos_rows(args.real, args.result, args.step,
                          args.max_per_speaker, args.mosnet_weights,
+                         mbnet_weights=args.mbnet_weights,
                          out_dir=args.out)
 
     path = h.write_report(os.path.join(args.out, "eer.txt"), rows)
@@ -145,7 +167,7 @@ def discover_ft_steps(result_dir, step):
 
 
 def mos_rows(real_dir, result_dir, step, max_per_speaker,
-             mosnet_weights=None, out_dir=None):
+             mosnet_weights=None, mbnet_weights=None, out_dir=None):
     """Pseudo-MOS over real + synthesized wavs (reference
     evaluation/compute_mos.py:25,52).
 
@@ -160,6 +182,7 @@ def mos_rows(real_dir, result_dir, step, max_per_speaker,
                                             try_register_mosnet,
                                             try_register_mosnet_native,
                                             try_register_mbnet,
+                                            try_register_mbnet_native,
                                             try_register_wav2vec2)
     from metatts_tpu.preprocess.audio_io import load_wav
     try_register_mosnet()
@@ -168,6 +191,9 @@ def mos_rows(real_dir, result_dir, step, max_per_speaker,
     # JAX-native MOSNet wins the "mosnet" slot when converted official
     # weights are dropped (tools/convert_torch_weights.py mosnet)
     try_register_mosnet_native(mosnet_weights)
+    # likewise the JAX-native MBNet mean net (tools/convert_torch_weights.py
+    # mbnet) claims the "mbnet" slot when converted weights are dropped
+    try_register_mbnet_native(mbnet_weights)
     rows = []
     bands = {}         # label -> scorer -> (mean, ci)  [real/recon]
     step_scores = {}   # scorer -> [(ft_step, mean, ci)]
@@ -232,6 +258,8 @@ def run_matrix(args):
     # (reference evaluation/config.py step matrix {0, 5, 10, 20, 50, 100});
     # a None entry evaluates over all synth wavs regardless of step.
     ft_steps = cfg.get("ft_step_list", [None])
+    sim_steps, sim_bands = {}, {}
+    from metatts_tpu.evaluation.mos import mean_confidence_interval
     for mode, result_dir in cfg.get("modes", {}).items():
         for step in cfg.get("step_list", ["step_last"]):
             for kind in ("recon", "synth"):
@@ -249,19 +277,36 @@ def run_matrix(args):
                     if sims:
                         rows.append((f"{label}_centroid",
                                      f"{np.mean(list(sims.values())):.4f}"))
-    from metatts_tpu.evaluation.visualize import det_plot, roc_plot
+                    vals = h.similarity_values(real, groups)
+                    if len(vals):
+                        m, ci = mean_confidence_interval(vals)
+                        if kind == "synth" and ft is not None:
+                            sim_steps.setdefault(mode, []).append((ft, m, ci))
+                        elif kind == "recon" and "recon" not in sim_bands:
+                            # one recon band — the reference plot draws a
+                            # single reconstruction region across modes
+                            sim_bands["recon"] = (m, ci)
+    from metatts_tpu.evaluation.visualize import (det_plot, roc_plot,
+                                                  similarity_step_plot)
     det_plot(curve_results, os.path.join(out_dir, "det.png"))
     roc_plot(curve_results, os.path.join(out_dir, "roc.png"))
+    if sim_steps:
+        # per-mode errorbar lines over adaptation steps (reference
+        # evaluation/similarity_plot.py errorbar_plot)
+        similarity_step_plot(sim_steps, sim_bands,
+                             os.path.join(out_dir, "similarity_vs_step.png"))
     if args.mos or cfg.get("mos"):
         # reference compute_mos.py scores real once, then every mode x step
         # tree; per-mode MOS-vs-step figures land under <out>/<mode>/mos.png
         rows += mos_rows(cfg["real_dir"], None, None,
-                         cfg.get("n_sample", 16), args.mosnet_weights)
+                         cfg.get("n_sample", 16), args.mosnet_weights,
+                         args.mbnet_weights)
         for mode, result_dir in cfg.get("modes", {}).items():
             for step in cfg.get("step_list", ["step_last"]):
                 mode_rows = mos_rows(None, result_dir, step,
                                      cfg.get("n_sample", 16),
                                      args.mosnet_weights,
+                                     args.mbnet_weights,
                                      out_dir=os.path.join(out_dir, mode))
                 rows += [(f"{mode}_{step}_{lbl}", v) for lbl, v in mode_rows]
     path = h.write_report(os.path.join(out_dir, "eer.txt"), rows)

@@ -142,6 +142,22 @@ class EvaluationHarness:
                     centroid_similarity(enroll_by_speaker[key], vecs)))
         return sims
 
+    @staticmethod
+    def similarity_values(enroll_by_speaker, test_by_speaker):
+        """Per-utterance cosine-to-enrollment-centroid values pooled over
+        speakers — the distribution behind the reference's errorbar
+        similarity plot (``evaluation/similarity_plot.py``); same key
+        matching as similarity_to_enrollment."""
+        vals = []
+        for spk, vecs in test_by_speaker.items():
+            key = spk if spk in enroll_by_speaker else \
+                spk.split("-spk_", 1)[-1]
+            if key in enroll_by_speaker:
+                vals.append(np.asarray(
+                    centroid_similarity(enroll_by_speaker[key], vecs)))
+        return (np.concatenate(vals) if vals
+                else np.zeros((0,), np.float32))
+
     def write_report(self, path, rows):
         """rows: list of (label, value) -> eer.txt-style report.
 

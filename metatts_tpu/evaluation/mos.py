@@ -142,15 +142,38 @@ def try_register_mbnet(weights_path=None):
     return True
 
 
+def try_register_mbnet_native(weights_path=None):
+    """Register the JAX-native MBNet mean net (evaluation/mbnet.py) when
+    converted official weights are present — the file-drop path for the
+    ``Pytorch_MBNet/pre_trained/model-50000.pt`` checkpoint the reference
+    loads (``compute_mos.py:148``; convert with
+    ``tools/convert_torch_weights.py mbnet``).  Takes priority over the
+    external-package hook under the same scorer name."""
+    weights_path = weights_path or os.environ.get("METATTS_MBNET_WEIGHTS")
+    if not weights_path or not os.path.exists(weights_path):
+        return False
+    from .mbnet import MBNetMean
+    model = MBNetMean(weights_path)
+
+    @register_scorer("mbnet")
+    def _mbnet_native(wav, sr):
+        return model.score(wav, sr)
+
+    return True
+
+
 def try_register_wav2vec2():
     """Register the wav2vec2-based quality score (reference
     ``evaluation/txt/LibriTTS/wav2vec2.txt`` rows) when transformers can
     load the pretrained model (needs network/weights; absent here)."""
     try:
         from transformers import Wav2Vec2Model, Wav2Vec2FeatureExtractor
-        model = Wav2Vec2Model.from_pretrained("facebook/wav2vec2-base")
+        # local_files_only: use a cached download if present, fail fast
+        # otherwise (no network retries in an egress-blocked environment)
+        model = Wav2Vec2Model.from_pretrained("facebook/wav2vec2-base",
+                                              local_files_only=True)
         fe = Wav2Vec2FeatureExtractor.from_pretrained(
-            "facebook/wav2vec2-base")
+            "facebook/wav2vec2-base", local_files_only=True)
     except Exception:
         return False
 

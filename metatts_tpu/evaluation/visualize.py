@@ -135,6 +135,46 @@ def mos_step_plot(step_scores, bands, out_path):
     return out_path
 
 
+def similarity_step_plot(step_sims, bands, out_path):
+    """Centroid-similarity vs adaptation-step errorbar figure (reference
+    ``evaluation/similarity_plot.py`` ``errorbar_plot``): one errorbar line
+    per mode over the fine-tuning steps, with horizontal mean±CI bands for
+    the step-independent modes (real enrollment self-similarity /
+    reconstruction).
+
+    ``step_sims``: dict mode -> list of (ft_step, mean, ci).
+    ``bands``: dict label -> (mean, ci).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(4.8, 4.2))
+    band_styles = {"real": ("k", "-"), "recon": ("gray", "--")}
+    for label, (m, ci) in sorted(bands.items()):
+        color, ls = band_styles.get(label, ("tab:green", ":"))
+        ax.axhline(m, color=color, linestyle=ls, alpha=0.7, label=label)
+        if ci:
+            ax.axhspan(m - ci, m + ci, color=color, alpha=0.12)
+    for mode, pts in sorted(step_sims.items()):
+        if not pts:
+            continue
+        pts = sorted(pts)
+        xs = [p[0] for p in pts]
+        ms = np.array([p[1] for p in pts])
+        cis = np.array([p[2] for p in pts])
+        ax.errorbar(xs, ms, yerr=cis, marker="o", capsize=3, label=mode)
+    ax.set_xlabel("adaptation steps")
+    ax.set_ylabel("cosine similarity to enrollment centroid")
+    ax.grid(True, alpha=0.3)
+    ax.legend(fontsize=7)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=130)
+    plt.close(fig)
+    return out_path
+
+
 def roc_plot(results_by_label, out_path):
     """ROC curve figure (reference speaker_verification.py ROC/AUC plots)."""
     import matplotlib

@@ -212,3 +212,27 @@ def test_eer_degenerate_inputs_return_nan():
     with tempfile.TemporaryDirectory() as d:
         det_plot({"x": r1}, os.path.join(d, "det.png"))
         roc_plot({"x": r1}, os.path.join(d, "roc.png"))
+
+
+def test_similarity_values_and_step_plot(tmp_path):
+    """Per-utterance centroid-similarity distribution + the errorbar
+    similarity-vs-adaptation-step figure (reference
+    evaluation/similarity_plot.py errorbar_plot)."""
+    from metatts_tpu.evaluation.harness import EvaluationHarness
+    from metatts_tpu.evaluation.visualize import similarity_step_plot
+    rng = np.random.RandomState(1)
+    enroll = {"7": rng.randn(4, 8), "9": rng.randn(4, 8)}
+    test = {"LibriTTS_en-spk_7": rng.randn(3, 8),
+            "9": rng.randn(2, 8),
+            "unmatched-spk_11": rng.randn(2, 8)}
+    vals = EvaluationHarness.similarity_values(enroll, test)
+    assert vals.shape == (5,)                 # 3 + 2; unmatched dropped
+    assert np.all(np.abs(vals) <= 1.0 + 1e-6)
+
+    p = similarity_step_plot(
+        {"meta_emb_vad": [(0, 0.2, 0.05), (10, 0.5, 0.04), (100, 0.7, 0.03)],
+         "base_emb_vad": [(0, 0.2, 0.05), (100, 0.4, 0.06)]},
+        {"recon": (0.8, 0.02), "real": (0.9, 0.01)},
+        str(tmp_path / "sim.png"))
+    import os
+    assert os.path.getsize(p) > 0

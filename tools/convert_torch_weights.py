@@ -15,6 +15,7 @@ Usage:
   python tools/convert_torch_weights.py hifigan g_02500000 out/hifigan.npz
   python tools/convert_torch_weights.py fastspeech2 meta.ckpt out/fs2.npz
   python tools/convert_torch_weights.py mosnet cnn_blstm.h5 out/mosnet.npz
+  python tools/convert_torch_weights.py mbnet model-50000.pt out/mbnet.npz
 """
 
 import sys
@@ -134,6 +135,76 @@ def convert_mosnet_h5(src, dst):
     print(f"wrote {dst}: {len(out)} arrays")
 
 
+def convert_mbnet_pt(src, dst):
+    """Pytorch_MBNet pretrained checkpoint (``model-50000.pt``, the file the
+    reference loads at ``evaluation/compute_mos.py:148``) -> npz for
+    ``metatts_tpu/evaluation/mbnet.py``.
+
+    Only the MEAN subnet is exported — ``only_mean_inference`` (the call the
+    reference makes) never touches the bias net or judge embedding.  Keys
+    are discovered by pattern so exact Sequential spacing (interleaved
+    ReLU/Dropout indices) doesn't matter:
+
+      mean-net convs   : 4-dim weights under a ``mean*conv`` prefix,
+                         sorted by Sequential index (12 expected,
+                         channels 16/32/64/128), OIHW -> HWIO
+      mean-net BLSTM   : ``weight_ih_l0[_reverse]`` etc. under a
+                         ``mean*(rnn|lstm)`` prefix; torch gate order
+                         (i,f,g,o) already matches the runtime's scan;
+                         bias = bias_ih + bias_hh
+      mean-net linears : 2-dim weights under a ``mean*(dnn|linear|fc)``
+                         prefix -> dense1 (256->128) + frame (128->1),
+                         transposed to (in, out)
+    """
+    import re
+
+    sd = _load_torch(src)
+    out = {}
+
+    convs = []
+    for k, v in sd.items():
+        if ("mean" in k and "conv" in k and k.endswith(".weight")
+                and v.ndim == 4):
+            m = re.search(r"\.(\d+)\.weight$", k)
+            convs.append((int(m.group(1)) if m else len(convs), k, v))
+    convs.sort()
+    assert len(convs) == 12, \
+        f"expected 12 mean-net convs, found {len(convs)}: {[k for _, k, _ in convs]}"
+    for i, (_, k, w) in enumerate(convs):
+        out[f"conv{i}.kernel"] = w.transpose(2, 3, 1, 0)      # OIHW -> HWIO
+        out[f"conv{i}.bias"] = sd[k[:-len(".weight")] + ".bias"]
+    chans = [out[f"conv{i}.kernel"].shape[3] for i in (2, 5, 8, 11)]
+    assert chans == [16, 32, 64, 128], chans
+
+    lstm_keys = [k for k in sd
+                 if "mean" in k and ("rnn" in k or "lstm" in k)
+                 and "weight_ih_l0" in k]
+    assert lstm_keys, "mean-net LSTM weights not found"
+    prefix = lstm_keys[0][:lstm_keys[0].index("weight_ih_l0")]
+    for suffix, tag in (("", "fwd"), ("_reverse", "bwd")):
+        out[f"blstm.{tag}.kernel"] = sd[f"{prefix}weight_ih_l0{suffix}"].T
+        out[f"blstm.{tag}.recurrent"] = sd[f"{prefix}weight_hh_l0{suffix}"].T
+        out[f"blstm.{tag}.bias"] = (sd[f"{prefix}bias_ih_l0{suffix}"]
+                                    + sd[f"{prefix}bias_hh_l0{suffix}"])
+
+    linears = []
+    for k, v in sd.items():
+        if ("mean" in k and any(t in k for t in ("dnn", "linear", "fc"))
+                and k.endswith(".weight") and v.ndim == 2):
+            m = re.search(r"\.(\d+)\.weight$", k)
+            linears.append((int(m.group(1)) if m else len(linears), k, v))
+    linears.sort()
+    assert len(linears) == 2, \
+        f"expected 2 mean-net linears, found {[k for _, k, _ in linears]}"
+    for (_, k, w), name in zip(linears, ("dense1", "frame")):
+        out[f"{name}.kernel"] = w.T                            # (in, out)
+        out[f"{name}.bias"] = sd[k[:-len(".weight")] + ".bias"]
+    assert out["frame.kernel"].shape[1] == 1, out["frame.kernel"].shape
+
+    np.savez(dst, **out)
+    print(f"wrote {dst}: {len(out)} arrays")
+
+
 def convert_fastspeech2(src, dst):
     """Reference Lightning checkpoint -> npz of raw arrays; mapping into our
     pytree happens at load via tools/load_reference_fs2.py naming rules."""
@@ -148,4 +219,5 @@ if __name__ == "__main__":
     kind, src, dst = sys.argv[1:]
     {"ge2e": convert_ge2e, "melgan": convert_melgan,
      "hifigan": convert_hifigan, "mosnet": convert_mosnet_h5,
+     "mbnet": convert_mbnet_pt,
      "fastspeech2": convert_fastspeech2}[kind](src, dst)
