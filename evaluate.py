@@ -167,7 +167,8 @@ def discover_ft_steps(result_dir, step):
 
 
 def mos_rows(real_dir, result_dir, step, max_per_speaker,
-             mosnet_weights=None, mbnet_weights=None, out_dir=None):
+             mosnet_weights=None, mbnet_weights=None, out_dir=None,
+             summary=None):
     """Pseudo-MOS over real + synthesized wavs (reference
     evaluation/compute_mos.py:25,52).
 
@@ -197,6 +198,9 @@ def mos_rows(real_dir, result_dir, step, max_per_speaker,
     rows = []
     bands = {}         # label -> scorer -> (mean, ci)  [real/recon]
     step_scores = {}   # scorer -> [(ft_step, mean, ci)]
+    # per-tag means for the grouped bar chart (reference bar_plot); the
+    # caller may pass a dict to collect across mos_rows calls (run_matrix)
+    summary = {} if summary is None else summary
 
     def score_files(files, tag, band=None, ft_step=None):
         for name in available_scorers():
@@ -207,6 +211,7 @@ def mos_rows(real_dir, result_dir, step, max_per_speaker,
             if vals:
                 m, ci = mean_confidence_interval(vals)
                 rows.append((f"mos_{name}_{tag}", f"{m:.3f} ±{ci:.3f}"))
+                summary.setdefault(tag, {})[name] = (m, ci)
                 if band is not None:
                     bands.setdefault(band, {})[name] = (m, ci)
                 if ft_step is not None:
@@ -233,6 +238,11 @@ def mos_rows(real_dir, result_dir, step, max_per_speaker,
     if out_dir and step_scores:
         from metatts_tpu.evaluation.visualize import mos_step_plot
         mos_step_plot(step_scores, bands, os.path.join(out_dir, "mos.png"))
+    if out_dir and summary:
+        # grouped bar chart across the modes scored in this call
+        # (reference compute_mos.py bar_plot)
+        from metatts_tpu.evaluation.visualize import mos_bar_plot
+        mos_bar_plot(summary, os.path.join(out_dir, "mos_bar.png"))
     return rows
 
 
@@ -298,17 +308,30 @@ def run_matrix(args):
     if args.mos or cfg.get("mos"):
         # reference compute_mos.py scores real once, then every mode x step
         # tree; per-mode MOS-vs-step figures land under <out>/<mode>/mos.png
+        bar_summary = {}
         rows += mos_rows(cfg["real_dir"], None, None,
                          cfg.get("n_sample", 16), args.mosnet_weights,
-                         args.mbnet_weights)
+                         args.mbnet_weights, summary=bar_summary)
         for mode, result_dir in cfg.get("modes", {}).items():
             for step in cfg.get("step_list", ["step_last"]):
+                mode_summary = {}
                 mode_rows = mos_rows(None, result_dir, step,
                                      cfg.get("n_sample", 16),
                                      args.mosnet_weights,
                                      args.mbnet_weights,
-                                     out_dir=os.path.join(out_dir, mode))
+                                     out_dir=os.path.join(out_dir, mode),
+                                     summary=mode_summary)
                 rows += [(f"{mode}_{step}_{lbl}", v) for lbl, v in mode_rows]
+                multi = len(cfg.get("step_list", ["step_last"])) > 1
+                for tag, d in mode_summary.items():
+                    key = (f"{mode}_{step}_{tag}" if multi
+                           else f"{mode}_{tag}")
+                    bar_summary[key] = d
+        if bar_summary:
+            # mode x step grouped bars in one figure (reference bar_plot,
+            # compute_mos.py:196-237: Real/Recon + every mode_step tick)
+            from metatts_tpu.evaluation.visualize import mos_bar_plot
+            mos_bar_plot(bar_summary, os.path.join(out_dir, "mos_bar.png"))
     path = h.write_report(os.path.join(out_dir, "eer.txt"), rows)
     print(f"wrote {path}")
     for label, value in rows:

@@ -15,7 +15,10 @@ def tsne_plot(dvecs_by_group, out_path, perplexity=30, seed=0):
         labels += [g] * len(v)
         vecs.append(np.asarray(v))
     x = np.concatenate(vecs)
-    perplexity = min(perplexity, max(2, len(x) // 4))
+    if len(x) < 4:
+        return None  # t-SNE is meaningless (and sklearn errors) below this
+    # sklearn requires perplexity < n_samples; (n-1)/3 is its own guideline
+    perplexity = max(1, min(perplexity, (len(x) - 1) // 3))
     emb = TSNE(n_components=2, perplexity=perplexity, init="pca",
                random_state=seed).fit_transform(x)
 
@@ -127,6 +130,45 @@ def mos_step_plot(step_scores, bands, out_path):
     ax.set_xlabel("adaptation steps")
     ax.set_ylabel("pseudo-MOS")
     ax.grid(True, alpha=0.3)
+    ax.legend(fontsize=7)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=130)
+    plt.close(fig)
+    return out_path
+
+
+def mos_bar_plot(summary, out_path):
+    """Grouped MOS bar chart across modes (reference
+    ``evaluation/compute_mos.py:196-237`` ``bar_plot``): one group per
+    mode/step tick on the x-axis, one bar per scorer, 95%-CI whiskers.
+
+    ``summary``: dict tick -> dict scorer -> (mean, ci), in tick order.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ticks = [t for t in summary if summary[t]]
+    if not ticks:
+        return None
+    scorers = sorted({s for d in summary.values() for s in d})
+    n = max(len(scorers), 1)
+    width = 0.8 / n
+    fig, ax = plt.subplots(figsize=(max(6.0, 0.9 * len(ticks) + 2), 3.4))
+    for k, scorer in enumerate(scorers):
+        xs, ms, cis = [], [], []
+        for i, t in enumerate(ticks):
+            if scorer in summary[t]:
+                m, ci = summary[t][scorer]
+                xs.append(i + (k - (n - 1) / 2) * width)
+                ms.append(m)
+                cis.append(ci)
+        ax.bar(xs, ms, width=width, yerr=cis, capsize=2, label=scorer)
+    ax.set_xticks(np.arange(len(ticks)))
+    ax.set_xticklabels(ticks, rotation=45, ha="right", fontsize=7)
+    ax.set_ylabel("pseudo-MOS")
+    ax.grid(True, axis="y", alpha=0.3)
     ax.legend(fontsize=7)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     fig.tight_layout()

@@ -153,15 +153,85 @@ class Trainer:
             if max_tasks and i >= max_tasks:
                 break
             sup_b, qry_b, _, _ = collate_episode([sup], [qry])
-            losses = self.system.validation_step(
-                _first_episode(sup_b), _first_episode(qry_b))
+            sup_e, qry_e = _first_episode(sup_b), _first_episode(qry_b)
+            losses = self.system.validation_step(sup_e, qry_e)
             totals.append([float(x) for x in losses])
             self.saver.log_task_csv("Validation", f"val_{i:03d}",
                                     [(step, LossValues(*totals[-1]))])
+            if i == 0 and self.vocoder is not None:
+                # first-batch audio + synthesized-vs-ground-truth figure
+                # (reference Saver on_validation_batch_end batch_idx==0,
+                # saver.py:96-105)
+                try:
+                    self._save_val_sample(step, sup_e, qry_e)
+                except Exception as e:  # synthesis must not kill validation
+                    print(f"[val synth @ {step}] failed: {e}")
         if totals:
             mean = np.mean(totals, axis=0)
             print(f"[val @ {step}] total={mean[0]:.4f} mel={mean[1]:.4f}")
         return totals
+
+    def _save_val_sample(self, step, sup, qry):
+        """Adapt on the support set like the val step (first-order, train
+        task steps/lr), run a teacher-forced query forward, and write the
+        reconstruction + prediction wavs and a two-panel synthesized vs
+        ground-truth spectrogram with target pitch/energy tracks — the
+        reference's ``synth_one_sample_with_target`` validation artifacts
+        (``callbacks/utils.py:11-54``)."""
+        from .synth_utils import expand_by_duration, denormalize
+
+        task = self.system.acfg["adapt"]["train"]
+        adaptor = self.system.adaptor
+
+        def val_synth(params, state, sup, qry, rng):
+            adapted = adaptor.adapt(
+                params, state, sup, steps=task["steps"], lr=task["lr"],
+                first_order=True, train=False, rng=None)
+            qry_c = qry._replace(speaker_args=sup.speaker_args[:1].repeat(
+                qry.texts.shape[0], axis=0)
+                if not isinstance(sup.speaker_args, tuple)
+                else sup.speaker_args)
+            out, _ = adaptor.forward(adapted, state, qry_c, train=False,
+                                     average_spk_emb=True)
+            return out
+
+        fn = self.system._cached_jit("val_synth", val_synth)
+        out = fn(self.system.params, self.system.state, sup, qry, None)
+
+        hop = self.system.pcfg["preprocessing"]["stft"]["hop_length"]
+        mel_len = int(np.asarray(qry.mel_lens)[0])  # teacher-forced: == pred
+        if mel_len <= 0:
+            return
+        mel_pred = np.asarray(out.postnet_mel)[0, :mel_len]
+        mel_target = np.asarray(qry.mels)[0, :mel_len]
+        for tag, mel in (("reconstructed", mel_target),
+                         ("synthesized", mel_pred)):
+            wav = self.vocoder.infer(mel[None], lengths=[mel_len * hop])[0]
+            path = self.saver.save_audio("Validation", f"step_{step}",
+                                         f"sample.{tag}", wav)
+            self.logger.log_artifact(step, "audio", path)
+
+        # target pitch/energy tracks on both panels (reference
+        # synth_one_sample_with_target uses the targets)
+        src_len = int(np.asarray(qry.src_lens)[0])
+        d = np.asarray(qry.d_targets)[0, :src_len]
+        pcfg = self.system.pcfg["preprocessing"]
+        stats = self.system.stats
+        pitch = np.asarray(qry.p_targets)[0]
+        energy = np.asarray(qry.e_targets)[0]
+        pitch = (expand_by_duration(pitch[:src_len], d)
+                 if pcfg["pitch"]["feature"] == "phoneme_level"
+                 else pitch)[:mel_len]
+        energy = (expand_by_duration(energy[:src_len], d)
+                  if pcfg["energy"]["feature"] == "phoneme_level"
+                  else energy)[:mel_len]
+        pitch = denormalize(pitch, stats["pitch"][2], stats["pitch"][3])
+        energy = denormalize(energy, stats["energy"][2], stats["energy"][3])
+        fig = self.saver.save_panel_figure(
+            "Validation", f"step_{step}", "sample",
+            [(mel_pred, pitch, energy), (mel_target, pitch, energy)],
+            ["Synthesized Spectrogram", "Ground-Truth Spectrogram"])
+        self.logger.log_artifact(step, "figure", fig)
 
     # -------------------------------------------------------------- test
 

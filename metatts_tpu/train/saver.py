@@ -79,6 +79,23 @@ class Saver:
             np.save(path + ".npy", np.asarray(mel))
             return path + ".npy"
 
+    def save_panel_figure(self, split, task_id, name, panels, titles=None,
+                          ckpt_step="last"):
+        """Multi-row spectrogram figure (e.g. synthesized vs ground truth —
+        the reference validation figure, ``saver.py:96-105`` via
+        ``synth_one_sample_with_target``).  ``panels``: list of
+        ``(mel, pitch, energy)``."""
+        d = os.path.join(self.result_dir, "figure", split,
+                         f"step_{ckpt_step}", task_id)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{name}.png")
+        try:
+            from .synth_utils import plot_mel_panels
+            return plot_mel_panels(panels, path, titles)
+        except ImportError:
+            np.save(path + ".npy", np.asarray(panels[0][0]))
+            return path + ".npy"
+
     def save_mel_figure(self, split, task_id, name, mel, ckpt_step="last"):
         """mel: (T, n_mels). Saved as PNG via matplotlib (optional dep)."""
         d = os.path.join(self.result_dir, "figure", split,

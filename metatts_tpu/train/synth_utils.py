@@ -43,24 +43,35 @@ def prepare_tracks(output, stats, preprocess_cfg, index=0):
     return mel, pitch, energy
 
 
-def plot_mel_with_tracks(mel, pitch, energy, out_path, title="synthesized"):
-    """Dual-axis spectrogram figure (reference ``utils/tools.py:217-267``)."""
+def plot_mel_panels(panels, out_path, titles=None):
+    """Stacked dual-axis spectrogram figure — one row per
+    ``(mel (T,80), pitch (T,), energy (T,))`` panel, like the reference
+    ``plot_mel`` (``utils/tools.py:217-267``), whose validation figure
+    shows the synthesized and ground-truth spectrograms together."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    fig, ax = plt.subplots(figsize=(10, 3.2))
-    ax.imshow(np.asarray(mel).T, origin="lower", aspect="auto",
-              interpolation="none")
-    ax.set_ylabel("mel bins")
-    ax.set_xlabel("frames")
-    ax.set_title(title)
-    ax2 = ax.twinx()
-    t = np.arange(len(pitch))
-    ax2.plot(t, pitch, color="tomato", linewidth=0.8, label="pitch (Hz)")
-    ax2.plot(t, energy, color="darkviolet", linewidth=0.8, label="energy")
-    ax2.legend(fontsize=7, loc="upper right")
+    n = len(panels)
+    titles = titles or ["synthesized"] * n
+    fig, axes = plt.subplots(n, 1, figsize=(10, 3.2 * n), squeeze=False)
+    for ax, (mel, pitch, energy), title in zip(axes[:, 0], panels, titles):
+        ax.imshow(np.asarray(mel).T, origin="lower", aspect="auto",
+                  interpolation="none")
+        ax.set_ylabel("mel bins")
+        ax.set_xlabel("frames")
+        ax.set_title(title)
+        ax2 = ax.twinx()
+        t = np.arange(len(pitch))
+        ax2.plot(t, pitch, color="tomato", linewidth=0.8, label="pitch (Hz)")
+        ax2.plot(t, energy, color="darkviolet", linewidth=0.8, label="energy")
+        ax2.legend(fontsize=7, loc="upper right")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     fig.tight_layout()
     fig.savefig(out_path, dpi=130)
     plt.close(fig)
     return out_path
+
+
+def plot_mel_with_tracks(mel, pitch, energy, out_path, title="synthesized"):
+    """Dual-axis spectrogram figure (reference ``utils/tools.py:217-267``)."""
+    return plot_mel_panels([(mel, pitch, energy)], out_path, [title])

@@ -130,6 +130,8 @@ def test_mos_rows_per_ftstep(tmp_path):
         mean_str, ci_str = labels[want].split(" ±")
         assert 1.0 <= float(mean_str) <= 5.0 and float(ci_str) >= 0.0
     assert (out / "mos.png").exists()
+    # grouped bar chart across modes (reference compute_mos.py bar_plot)
+    assert (out / "mos_bar.png").exists()
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -112,6 +112,31 @@ class StubVocoder:
         return out
 
 
+def test_validation_first_batch_audio_and_figure(tmp_path):
+    """The reference Saver writes reconstruction + prediction audio and a
+    synthesized-vs-ground-truth spectrogram figure for the FIRST validation
+    batch only (saver.py:96-105 via synth_one_sample_with_target)."""
+    tcfg = tiny_train_cfg()
+    system = get_system("meta")(tiny_preprocess_cfg(), tiny_model_cfg(),
+                                tcfg, algorithm_cfg("meta"), stats=STATS,
+                                n_speakers=4)
+    out = str(tmp_path)
+    tr = Trainer(system, StubMetaDM(), tcfg, output_dir=out,
+                 exp_name="val", vocoder=StubVocoder())
+    tr.validate(step=2)
+    audio_dir = os.path.join(out, "result", "val", "audio", "Validation",
+                             "step_last", "step_2")
+    names = sorted(os.listdir(audio_dir))
+    assert "sample.reconstructed.wav" in names
+    assert "sample.synthesized.wav" in names
+    fig_dir = os.path.join(out, "result", "val", "figure", "Validation",
+                           "step_last", "step_2")
+    figs = os.listdir(fig_dir)
+    assert any(n.startswith("sample.") for n in figs)
+    # only the first batch gets audio/figure (two val episodes in the stub)
+    assert len(names) == 2
+
+
 @pytest.mark.parametrize("alg", ["meta", "baseline", "imaml"])
 def test_test_stage_all_systems_with_per_step_audio(alg, tmp_path):
     """The test stage is shared by all three systems (reference
