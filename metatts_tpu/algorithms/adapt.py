@@ -163,12 +163,16 @@ class Adaptor:
             exact_mcfg = {**self.mcfg, "attention_impl":
                           self.mcfg.get("inner_attention_impl",
                                         "einsum_remat")}
-            # the fast forward runs the flash kernel on TPU; off-TPU the
-            # Pallas call has no compiled lowering at all, so downgrade to
-            # einsum there (the old unrolled path's fallback contract)
+            # the fast forward's attention impl is measurable per-hardware
+            # (model.fast_attention_impl overrides); the resolve_attn_impl
+            # default runs the flash kernel on TPU. Off-TPU the Pallas call
+            # has no compiled lowering at all, so downgrade to einsum there
+            # (the old unrolled path's fallback contract).
             from ..models.transformer import resolve_attn_impl
-            fast_impl = resolve_attn_impl(self.mcfg)
-            if fast_impl == "flash" and jax.default_backend() != "tpu":
+            fast_impl = self.mcfg.get("fast_attention_impl") or \
+                resolve_attn_impl(self.mcfg)
+            from ..utils.backend import is_tpu
+            if fast_impl == "flash" and not is_tpu():
                 fast_impl = "einsum"
             step_fn = make_hvp_sgd_step(
                 self, lr, train,

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..utils.backend import is_tpu as _is_tpu
+
 
 def uniform_init(rng, shape, scale):
     return jax.random.uniform(rng, shape, jnp.float32, -scale, scale)
@@ -107,42 +109,54 @@ def conv1d_init(rng, c_in, c_out, k, bias=True):
     return p
 
 
+def _conv1d_native(w, xc, cdtype, dilation):
+    """lax conv lowering: saves only (x, w) for backward, where im2col saves
+    the K-times-larger cols tensor — the dominant residual in second-order
+    inner loops.  TPU-only: the XLA-CPU conv lowering's compile time is
+    pathological at >=256 channels (CLAUDE.md)."""
+    K = w.shape[-1]
+    pad = dilation * (K - 1) // 2
+    return lax.conv_general_dilated(
+        xc, w.astype(cdtype), window_strides=(1,),
+        padding=[(pad, pad)], rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "OIW", "NWC")).astype(jnp.float32)
+
+
+def _conv1d_im2col(w, xc, cdtype, dilation):
+    """Concatenate the K dilated shifts, one (B,T,K*I) @ (K*I,O) contraction:
+    a single large MXU matmul, and orders of magnitude faster to compile
+    than the conv lowering on the CPU backend."""
+    K = w.shape[-1]
+    T = xc.shape[1]
+    pad = dilation * (K - 1) // 2
+    xp = jnp.pad(xc, ((0, 0), (pad, pad), (0, 0)))
+    cols = jnp.concatenate(
+        [lax.dynamic_slice_in_dim(xp, k * dilation, T, axis=1)
+         for k in range(K)], axis=-1)     # (B, T, K*I)
+    wmat = jnp.concatenate([w[:, :, k].T for k in range(K)],
+                           axis=0).astype(cdtype)  # (K*I, O)
+    return jnp.dot(cols, wmat).astype(jnp.float32)
+
+
 def conv1d(p, x, cdtype=jnp.float32, dilation=1, stride=1, padding="SAME",
-           out_dtype=jnp.float32):
+           out_dtype=jnp.float32, impl=None):
     """x: (B, T, C_in) -> (B, T, C_out); kernel stored OIH (torch layout).
 
-    Implemented as an im2col matmul (concatenate the K dilated shifts, one
-    (B, T, K*C_in) @ (K*C_in, C_out) contraction): a single large MXU matmul
-    on TPU, and orders of magnitude faster to compile than
-    lax.conv_general_dilated on the CPU backend.  SAME padding, stride 1
-    (the only mode the acoustic model uses); odd kernel sizes.
+    SAME padding, stride 1 (the only mode the acoustic model uses); odd
+    kernel sizes.  ``impl``: "native" | "im2col" | None (auto: native conv
+    on TPU for the smaller backward residuals, im2col elsewhere for CPU
+    compile time — see the branch helpers).
     """
     assert stride == 1 and padding == "SAME"
     w = p["w"]                                # (O, I, K)
-    O, I, K = w.shape
+    K = w.shape[-1]
     xc = x.astype(cdtype)
     if K == 1:
         y = jnp.dot(xc, w[:, :, 0].T.astype(cdtype)).astype(jnp.float32)
-    elif jax.default_backend() == "tpu":
-        # native conv on TPU: saves only (x, w) for backward, where im2col
-        # saves the K-times-larger cols tensor — the dominant residual in
-        # second-order inner loops (im2col below is the XLA-CPU path, whose
-        # conv lowering compile time is pathological at >=256 channels)
-        pad = dilation * (K - 1) // 2
-        y = lax.conv_general_dilated(
-            xc, w.astype(cdtype), window_strides=(1,),
-            padding=[(pad, pad)], rhs_dilation=(dilation,),
-            dimension_numbers=("NWC", "OIW", "NWC")).astype(jnp.float32)
+    elif impl == "native" or (impl is None and _is_tpu()):
+        y = _conv1d_native(w, xc, cdtype, dilation)
     else:
-        T = x.shape[1]
-        pad = dilation * (K - 1) // 2
-        xp = jnp.pad(xc, ((0, 0), (pad, pad), (0, 0)))
-        cols = jnp.concatenate(
-            [lax.dynamic_slice_in_dim(xp, k * dilation, T, axis=1)
-             for k in range(K)], axis=-1)     # (B, T, K*I)
-        wmat = jnp.concatenate([w[:, :, k].T for k in range(K)],
-                               axis=0).astype(cdtype)  # (K*I, O)
-        y = jnp.dot(cols, wmat).astype(jnp.float32)
+        y = _conv1d_im2col(w, xc, cdtype, dilation)
     if "b" in p:
         y = y + p["b"]
     return y.astype(out_dtype)

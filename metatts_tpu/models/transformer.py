@@ -190,7 +190,8 @@ def _use_fused_infer(cfg, train, d_model, n_head):
     differentiates eval-mode forwards through the regular path)."""
     if not cfg.get("_fused_infer") or train:
         return False
-    if jax.default_backend() != "tpu" and not cfg.get("_fused_interpret"):
+    from ..utils.backend import is_tpu
+    if not is_tpu() and not cfg.get("_fused_interpret"):
         return False
     from ..ops.pallas.fftblock import fused_block_supported
     return fused_block_supported(d_model, d_model // n_head)
@@ -203,7 +204,8 @@ def resolve_attn_impl(cfg):
     custom_vjp kernels are not twice-differentiable."""
     impl = cfg.get("attention_impl", "auto")
     if impl == "auto":
-        impl = "flash" if jax.default_backend() == "tpu" else "einsum"
+        from ..utils.backend import is_tpu
+        impl = "flash" if is_tpu() else "einsum"
     return impl
 
 

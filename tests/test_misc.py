@@ -181,3 +181,18 @@ def test_lang_episode_batches_apply_coverage_split():
     ref = np.asarray(phn_ref[0])
     for p in qry_phones:
         assert np.abs(ref[p]).sum() > 0, f"zero phn_ref row for phoneme {p}"
+
+
+def test_is_tpu_recognizes_tunnel_platform(monkeypatch):
+    """jax.default_backend() is the PLATFORM name — "axon" on the tunneled
+    TPU, not "tpu".  is_tpu() must treat both as TPU and the host CPU as
+    not-TPU (the gates it feeds: flash-attn auto, native conv1d, fused
+    inference megakernel)."""
+    import jax
+    from metatts_tpu.utils import backend
+
+    assert backend.is_tpu() is False          # tests force the CPU backend
+    assert backend.is_cpu() is True
+    for name in ("tpu", "axon"):
+        monkeypatch.setattr(jax, "default_backend", lambda n=name: n)
+        assert backend.is_tpu() is True

@@ -82,6 +82,28 @@ def test_conv1d_matches_torch():
                                    err_msg=f"k={k} dil={dil}")
 
 
+def test_conv1d_native_branch_matches_torch():
+    """The lax-conv branch (auto-selected on TPU — the tunneled platform
+    included, via utils.backend.is_tpu) vs torch, at small channel counts
+    where the XLA-CPU conv lowering is still cheap to compile."""
+    import jax.numpy as jnp
+    from metatts_tpu.models import nn as jnn
+    rng = np.random.RandomState(3)
+    for k, dil in [(3, 1), (9, 1), (5, 2)]:
+        w = rng.randn(7, 5, k).astype(np.float32)
+        b = rng.randn(7).astype(np.float32)
+        x = rng.randn(2, 16, 5).astype(np.float32)
+        ours = np.asarray(jnn.conv1d(
+            {"w": jnp.asarray(w), "b": jnp.asarray(b)}, jnp.asarray(x),
+            dilation=dil, impl="native"))
+        theirs = torch.nn.functional.conv1d(
+            torch.tensor(x).transpose(1, 2), torch.tensor(w),
+            torch.tensor(b), padding=dil * (k - 1) // 2,
+            dilation=dil).transpose(1, 2).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=2e-5,
+                                   err_msg=f"native k={k} dil={dil}")
+
+
 def test_lstm_matches_torch():
     """GE2E LSTM vs torch.nn.LSTM with identical weights (complements the
     converted-weights parity shown in the round log)."""
