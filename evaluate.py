@@ -270,10 +270,18 @@ def run_matrix(args):
     ft_steps = cfg.get("ft_step_list", [None])
     sim_steps, sim_bands = {}, {}
     from metatts_tpu.evaluation.mos import mean_confidence_interval
-    for mode, result_dir in cfg.get("modes", {}).items():
+    for mode, mode_cfg in cfg.get("modes", {}).items():
+        # a mode maps to a result dir, or to {dir, ft_step_list} for a
+        # per-mode step list (reference config.py mode_step_list pairs —
+        # e.g. 1-shot modes evaluate out to step 1000)
+        if isinstance(mode_cfg, dict):
+            result_dir = mode_cfg["dir"]
+            mode_fts = mode_cfg.get("ft_step_list", ft_steps)
+        else:
+            result_dir, mode_fts = mode_cfg, ft_steps
         for step in cfg.get("step_list", ["step_last"]):
             for kind in ("recon", "synth"):
-                for ft in (ft_steps if kind == "synth" else [None]):
+                for ft in (mode_fts if kind == "synth" else [None]):
                     groups = h.embed_result_tree(result_dir, kind, step,
                                                  ft_step=ft)
                     if not groups:
@@ -312,7 +320,9 @@ def run_matrix(args):
         rows += mos_rows(cfg["real_dir"], None, None,
                          cfg.get("n_sample", 16), args.mosnet_weights,
                          args.mbnet_weights, summary=bar_summary)
-        for mode, result_dir in cfg.get("modes", {}).items():
+        for mode, mode_cfg in cfg.get("modes", {}).items():
+            result_dir = (mode_cfg["dir"] if isinstance(mode_cfg, dict)
+                          else mode_cfg)
             for step in cfg.get("step_list", ["step_last"]):
                 mode_summary = {}
                 mode_rows = mos_rows(None, result_dir, step,

@@ -10,6 +10,8 @@ Precision policy: params live in float32; matmuls/convs run in the model's
 (``preferred_element_type``); layer norms, softmax and losses stay float32.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -151,6 +153,10 @@ def conv1d(p, x, cdtype=jnp.float32, dilation=1, stride=1, padding="SAME",
     w = p["w"]                                # (O, I, K)
     K = w.shape[-1]
     xc = x.astype(cdtype)
+    if impl is None:
+        # trace-time only; lets tools/probe_attn_ab.py A/B the branches on
+        # hardware without threading a config through every call site
+        impl = os.environ.get("METATTS_CONV_IMPL")
     if K == 1:
         y = jnp.dot(xc, w[:, :, 0].T.astype(cdtype)).astype(jnp.float32)
     elif impl == "native" or (impl is None and _is_tpu()):

@@ -238,3 +238,55 @@ def test_similarity_values_and_step_plot(tmp_path):
         str(tmp_path / "sim.png"))
     import os
     assert os.path.getsize(p) > 0
+
+
+def test_run_matrix_per_mode_ft_steps(tmp_path):
+    """modes entries may be {dir, ft_step_list} (reference config.py
+    mode_step_list pairs — e.g. 1-shot modes evaluate out to step 1000);
+    plain string entries keep the global ft_step_list."""
+    import sys
+    import types
+    import yaml
+    import evaluate as ev
+    from metatts_tpu.preprocess.audio_io import save_wav
+
+    sr = 22050
+    rng = np.random.RandomState(0)
+
+    def tone(f):
+        t = np.arange(sr // 4) / sr
+        return (0.4 * np.sin(2 * np.pi * f * t)
+                + 0.01 * rng.randn(t.size)).astype(np.float32)
+
+    for spk, f in (("s1", 200), ("s2", 500)):
+        d = tmp_path / "real" / spk
+        d.mkdir(parents=True)
+        for i in range(2):
+            save_wav(str(d / f"u{i}.wav"), tone(f), sr)
+
+    res = tmp_path / "result"
+    for tid, f in (("test_000", 210), ("test_001", 510)):
+        task = res / "audio" / "Testing" / "step_last" / tid
+        task.mkdir(parents=True)
+        save_wav(str(task / "u0.recon.wav"), tone(f), sr)
+        for n in (0, 7):
+            save_wav(str(task / f"u0.step_last-FTstep_{n}.synth.wav"),
+                     tone(f), sr)
+
+    cfg = {"corpus": "T", "real_dir": str(tmp_path / "real"), "n_sample": 4,
+           "step_list": ["step_last"], "ft_step_list": [0],
+           "modes": {"m_global": str(res),
+                     "m_custom": {"dir": str(res), "ft_step_list": [7]}}}
+    cfg_path = tmp_path / "matrix.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    args = types.SimpleNamespace(
+        config=str(cfg_path), out=str(tmp_path / "out"),
+        dvector_weights=None, mosnet_weights=None, mbnet_weights=None,
+        mos=False)
+    ev.run_matrix(args)
+    report = (tmp_path / "out" / "eer.txt").read_text()
+    assert "m_global_synth_step_last_FTstep0" in report
+    assert "m_global_synth_step_last_FTstep7" not in report
+    assert "m_custom_synth_step_last_FTstep7" in report
+    assert "m_custom_synth_step_last_FTstep0" not in report

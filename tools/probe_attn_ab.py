@@ -65,26 +65,31 @@ def main():
 
     sup, qry = episode_stack(SHOTS), episode_stack(QUERIES)
 
-    for fast_impl in ["einsum_remat", "einsum", "flash"]:
-        mcfg = copy.deepcopy(C.MODEL_DEFAULTS)
-        mcfg["fast_attention_impl"] = fast_impl
-        system = MetaSystem(pcfg, mcfg, tcfg, acfg, n_speakers=256)
-        t0 = time.time()
-        losses = system.train_step(sup, qry)
-        jax.block_until_ready(losses.total)
-        compile_s = time.time() - t0
-        for _ in range(2):
+    import os
+    for conv_impl in ["im2col", "native"]:
+        os.environ["METATTS_CONV_IMPL"] = conv_impl
+        for fast_impl in ["einsum_remat", "einsum", "flash"]:
+            mcfg = copy.deepcopy(C.MODEL_DEFAULTS)
+            mcfg["fast_attention_impl"] = fast_impl
+            system = MetaSystem(pcfg, mcfg, tcfg, acfg, n_speakers=256)
+            t0 = time.time()
             losses = system.train_step(sup, qry)
-        jax.block_until_ready(losses.total)
-        t0 = time.time()
-        for _ in range(10):
-            losses = system.train_step(sup, qry)
-        jax.block_until_ready(losses.total)
-        dt = (time.time() - t0) / 10
-        print(json.dumps({"fast_attention_impl": fast_impl,
-                          "step_ms": round(dt * 1e3, 2),
-                          "compile_s": round(compile_s, 1),
-                          "loss": float(losses.total)}), flush=True)
+            jax.block_until_ready(losses.total)
+            compile_s = time.time() - t0
+            for _ in range(2):
+                losses = system.train_step(sup, qry)
+            jax.block_until_ready(losses.total)
+            t0 = time.time()
+            for _ in range(10):
+                losses = system.train_step(sup, qry)
+            jax.block_until_ready(losses.total)
+            dt = (time.time() - t0) / 10
+            print(json.dumps({"conv_impl": conv_impl,
+                              "fast_attention_impl": fast_impl,
+                              "step_ms": round(dt * 1e3, 2),
+                              "compile_s": round(compile_s, 1),
+                              "loss": float(losses.total)}), flush=True)
+    del os.environ["METATTS_CONV_IMPL"]
 
     # fused-infer megakernel vs regular path on the synthesis forward
     from metatts_tpu.algorithms.adapt import Adaptor
@@ -111,6 +116,31 @@ def main():
         print(json.dumps({"fused_infer": fused,
                           "synth_forward_ms_chained": round(window(), 2)}),
               flush=True)
+
+    # conv impl A/B on the supervised baseline step (B=80, the bench's
+    # secondary metric): round <=3 TPU numbers were measured on the im2col
+    # branch (the == "tpu" gate missed the axon platform)
+    import os
+    from metatts_tpu.algorithms.baseline import BaselineSystem
+    bbatch = _batch(rng, B=80, L=SRC_LEN, T=MEL_LEN, n_mels=80,
+                    n_speakers=256)
+    for conv_impl in ["im2col", "native"]:
+        os.environ["METATTS_CONV_IMPL"] = conv_impl
+        bsys = BaselineSystem(pcfg, copy.deepcopy(C.MODEL_DEFAULTS), tcfg,
+                              {**acfg, "type": "baseline"}, n_speakers=256)
+        bl = bsys.train_step(bbatch)
+        for _ in range(3):
+            bl = bsys.train_step(bbatch)
+        jax.block_until_ready(bl.total)
+        t0 = time.time()
+        for _ in range(10):
+            bl = bsys.train_step(bbatch)
+        jax.block_until_ready(bl.total)
+        print(json.dumps({"conv_impl": conv_impl,
+                          "baseline_step_ms_B80":
+                          round((time.time() - t0) / 10 * 1e3, 2)}),
+              flush=True)
+    del os.environ["METATTS_CONV_IMPL"]
 
 
 if __name__ == "__main__":
