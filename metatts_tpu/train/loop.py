@@ -291,11 +291,19 @@ class Trainer:
             if isinstance(sup.speaker_args, tuple) else
             sup.speaker_args[:1].repeat(qry.texts.shape[0], axis=0))
 
+        # jit per teacher-forced mode (eager forwards dispatch op-by-op,
+        # which is pathological through the remote-TPU tunnel); synthesis is
+        # pure inference so it opts into the fused FFT-block megakernel
+        infer_mcfg = {**self.system.mcfg, "_fused_infer": True}
+
         def vocode_and_save(params, tag, teacher):
             from .synth_utils import prepare_tracks
-            out, _ = self.system.adaptor.forward(
-                params, self.system.state, qry_c, train=False,
-                teacher_forced=teacher, average_spk_emb=True)
+            fwd = self.system._cached_jit(
+                f"test_synth_tf{int(teacher)}",
+                lambda p, st, b, t=teacher: self.system.adaptor.forward(
+                    p, st, b, train=False, teacher_forced=t,
+                    average_spk_emb=True, mcfg=infer_mcfg)[0])
+            out = fwd(params, self.system.state, qry_c)
             mel_lens = np.asarray(out.mel_lens)
             wavs = self.vocoder.infer(out.postnet_mel,
                                       lengths=mel_lens * hop)
@@ -334,11 +342,17 @@ class Trainer:
         if episode_batched:
             batch = _first_episode(batch)
         one = jax.tree.map(lambda x: x[:1], batch)
-        recon_out, _ = self.system.adaptor.forward(
-            self.system.params, self.system.state, one, train=False)
-        synth_out, _ = self.system.adaptor.forward(
-            self.system.params, self.system.state, one, train=False,
-            teacher_forced=False)
+        # jitted: eager forwards dispatch op-by-op through the TPU tunnel
+        recon_fn = self.system._cached_jit(
+            "synth_sample_recon",
+            lambda p, st, b: self.system.adaptor.forward(
+                p, st, b, train=False)[0])
+        synth_fn = self.system._cached_jit(
+            "synth_sample_pred",
+            lambda p, st, b: self.system.adaptor.forward(
+                p, st, b, train=False, teacher_forced=False)[0])
+        recon_out = recon_fn(self.system.params, self.system.state, one)
+        synth_out = synth_fn(self.system.params, self.system.state, one)
         hop = self.system.pcfg["preprocessing"]["stft"]["hop_length"]
         for tag, out in (("recon", recon_out), ("synth", synth_out)):
             mel_len = int(np.asarray(out.mel_lens)[0])
