@@ -182,16 +182,22 @@ class System:
         rows.append((0, eval_fn(params, self.state, sup_batch, qry_batch,
                                 None)))
         snapshots = [(0, jax.device_get(params))]
+        targets = sorted(s for s in saving_steps if 0 < s <= max_steps)
+        # ONE compiled chunk program, sized to the gcd of the saving-step
+        # gaps, looped to each target — the per-gap programs (5/10/30/50
+        # for the reference schedule) each cost a multi-minute cold compile
+        # on the tunneled TPU; extra chunk dispatches are ~ms
+        import math
+        gaps = [b - a for a, b in zip([0] + targets[:-1], targets)]
+        chunk = math.gcd(*gaps) if gaps else 0
+        chunk_fn = self._cached_jit(
+            f"test_adapt_{chunk}",
+            lambda p, st, s, r, n=chunk: adapt_chunk(p, st, s, r, n))
         done = 0
-        for target in sorted(s for s in saving_steps if s <= max_steps):
-            n = target - done
-            if n <= 0:
-                continue
-            chunk_fn = self._cached_jit(
-                f"test_adapt_{n}",
-                lambda p, st, s, r, n=n: adapt_chunk(p, st, s, r, n))
-            params = chunk_fn(params, self.state, sup_batch,
-                              self.next_rng())
+        for target in targets:
+            for _ in range((target - done) // chunk):
+                params = chunk_fn(params, self.state, sup_batch,
+                                  self.next_rng())
             done = target
             rows.append((target, eval_fn(params, self.state, sup_batch,
                                          qry_batch, None)))
