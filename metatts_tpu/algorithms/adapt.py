@@ -149,9 +149,12 @@ class Adaptor:
 
         Second-order implementations (``model.second_order_impl``):
           * "custom_hvp" (default) — each SGD step is a custom-VJP operator
-            (``make_hvp_sgd_step``): flash-kernel forward, exact einsum HVP
-            backward recomputed per step.  No (T, T) residuals stored across
-            the scan; flash runs inside the inner loop.
+            (``make_hvp_sgd_step``): fast once-differentiated forward
+            gradient (impl from ``model.fast_attention_impl`` or the
+            attention auto-resolve — the flash kernel is admissible here
+            because only the exact einsum HVP backward is differentiated
+            twice), exact HVP recomputed per step.  No (T, T) residuals
+            stored across the scan.
           * "unrolled" — plain autodiff through the unrolled inner loop on
             the einsum(+remat) path (the flash custom_vjp kernel is only
             once-differentiable, so it is forced off here).
