@@ -204,6 +204,82 @@ class System:
             snapshots.append((target, jax.device_get(params)))
         return rows, snapshots
 
+    def test_adapt_batched(self, sup_stack, qry_stack, ft_steps=None):
+        """Batched test adaptation: the full snapshot trajectory of
+        ``test_adapt`` vmapped over a leading episode axis, sharded
+        ``P("dp")`` when a mesh is enabled.
+
+        The reference distributes test episodes one-per-GPU under DDP
+        (``base_adaptor.py:151`` barriers after each); here E stacked
+        same-bucket episodes (``collate_episode``) adapt concurrently — on
+        an N-chip mesh each chip owns E/N trajectories, on one chip the
+        episode axis batches the MXU.  Semantics match ``test_adapt``
+        episode-wise (dropout-active first-order inner SGD, deterministic
+        snapshot evals, host-offloaded snapshots); only the dropout rng
+        draws differ from a sequential run.
+
+        Returns ``(rows, snapshots)`` where every loss field and every
+        snapshot leaf carries the leading episode axis.
+        """
+        import jax.numpy as jnp
+
+        test_cfg = self.acfg["adapt"]["test"]
+        lr = test_cfg["lr"]
+        saving_steps = ft_steps or test_cfg["saving_steps"]
+        max_steps = test_cfg["steps"]
+        E = jax.tree.leaves(sup_stack)[0].shape[0]
+
+        eval_mcfg = {**self.mcfg, "_fused_infer": True}
+
+        def qry_eval(params, sup, qry):
+            qry_c = qry._replace(speaker_args=sup.speaker_args[:1].repeat(
+                qry.texts.shape[0], axis=0)
+                if not isinstance(sup.speaker_args, tuple)
+                else sup.speaker_args)
+            out, _ = self.adaptor.forward(params, self.state, qry_c,
+                                          train=False, rng=None,
+                                          average_spk_emb=True,
+                                          mcfg=eval_mcfg)
+            return self.adaptor.loss(qry_c, out)
+
+        eval_fn = self._cached_jit(
+            "test_eval_batched",
+            lambda ps, ss, qs: jax.vmap(qry_eval)(ps, ss, qs))
+
+        targets = sorted(s for s in saving_steps if 0 < s <= max_steps)
+        import math
+        gaps = [b - a for a, b in zip([0] + targets[:-1], targets)]
+        chunk = math.gcd(*gaps) if gaps else 0
+
+        def chunk_all(params_E, sup_E, rngs):
+            return jax.vmap(lambda p, s, r: self.adaptor.adapt(
+                p, self.state, s, steps=chunk, lr=lr, first_order=True,
+                train=True, rng=r))(params_E, sup_E, rngs)
+
+        chunk_fn = self._cached_jit(f"test_adapt_batched_{chunk}", chunk_all)
+
+        params_E = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (E,) + x.shape),
+            self.params)
+        if self.mesh is not None and \
+                E % int(np.prod(self.mesh.devices.shape)) == 0:
+            sup_stack = self._shard_episode_batch(sup_stack, "test batch")
+            qry_stack = self._shard_episode_batch(qry_stack, "test batch")
+            params_E = jax.tree.map(
+                lambda x: jax.device_put(x, self._ep), params_E)
+
+        rows = [(0, eval_fn(params_E, sup_stack, qry_stack))]
+        snapshots = [(0, jax.device_get(params_E))]
+        done = 0
+        for target in targets:
+            for _ in range((target - done) // chunk):
+                params_E = chunk_fn(params_E, sup_stack,
+                                    jax.random.split(self.next_rng(), E))
+            done = target
+            rows.append((target, eval_fn(params_E, sup_stack, qry_stack)))
+            snapshots.append((target, jax.device_get(params_E)))
+        return rows, snapshots
+
     def test_adapt_tasks(self, sup_batch, qry_batch, ft_steps=None):
         """Yield ``(suffix, rows, snapshots)`` per test sub-task.
 

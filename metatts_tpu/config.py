@@ -81,6 +81,13 @@ MODEL_DEFAULTS = {
 }
 
 TRAIN_DEFAULTS = {
+    # "auto"|"off": auto-enable the dp mesh on >1 visible device (fit; the
+    # test stage joins when test_task_batch > 1)
+    "distributed": "auto",
+    # episodes adapted concurrently by the test stage ("auto" = device
+    # count): vmapped trajectories, episode axis P("dp") on the mesh —
+    # the SPMD equivalent of the reference's one-episode-per-GPU DDP test
+    "test_task_batch": 1,
     "optimizer": {
         "batch_size": 80, "betas": [0.9, 0.98], "eps": 1e-9,
         "weight_decay": 0.0, "grad_clip_thresh": 1.0, "grad_acc_step": 1,

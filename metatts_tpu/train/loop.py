@@ -235,13 +235,36 @@ class Trainer:
 
     # -------------------------------------------------------------- test
 
-    def test(self, ckpt_step="last", max_tasks=None, tasks_per_label=None):
+    def test(self, ckpt_step="last", max_tasks=None, tasks_per_label=None,
+             task_batch=None):
         """Few-shot test: adapt on support, synthesize query, save artifacts
         (reference ``base_adaptor.py:136-189`` + Saver test tree).
         ``tasks_per_label`` overrides the per-speaker episode count
-        (reference default 16/speaker)."""
+        (reference default 16/speaker).
+
+        ``task_batch`` (or ``train.test_task_batch``; "auto" = device
+        count) adapts that many episodes CONCURRENTLY via
+        ``System.test_adapt_batched`` — vmapped trajectories, episode axis
+        sharded ``P("dp")`` on a multi-chip mesh.  The reference's DDP test
+        runs one episode per GPU (``base_adaptor.py:151``); this is the
+        SPMD equivalent.  1-shot mode keeps the sequential path (its
+        sub-task loop already re-slices the support set)."""
+        import math
+        import jax as _jax
         from ..data.collate import collate_episode
         test_cfg = self.system.acfg["adapt"]["test"]
+        tb = task_batch or self.tcfg.get("test_task_batch", 1)
+        if tb == "auto":
+            tb = max(1, len(_jax.devices()))
+        if test_cfg.get("1-shot", False):
+            tb = 1
+        if tb > 1 and self.tcfg.get("distributed", "auto") != "off" \
+                and self.system.mesh is None:
+            n_use = math.gcd(len(_jax.devices()), int(tb))
+            if n_use > 1:
+                mesh = self.system.enable_mesh(n_use)
+                print(f"[mesh] test stage: dp mesh over "
+                      f"{mesh.devices.size} devices, {tb} tasks/batch")
         if test_cfg.get("avg_train_spk_emb") and \
                 "speaker_emb" in self.system.params and \
                 "table" in self.system.params["speaker_emb"]:
@@ -256,9 +279,8 @@ class Trainer:
         results = {}
         episodes = (self.dm.test_episodes(tasks_per_label)
                     if tasks_per_label else self.dm.test_episodes())
-        for i, (desc, (sup, qry)) in enumerate(episodes):
-            if max_tasks and i >= max_tasks:
-                break
+
+        def run_sequential(i, sup, qry):
             task_id = f"test_{i:03d}"
             sup_b, qry_b, _, qry_meta = collate_episode([sup], [qry])
             sup_e, qry_e = _first_episode(sup_b), _first_episode(qry_b)
@@ -273,6 +295,49 @@ class Trainer:
                     self._save_test_audio(tid, snapshots, sup_e, qry_e,
                                           qry_meta[0], ckpt_step)
                 results[tid] = rows
+
+        def run_batched(buf):
+            import jax
+            import numpy as np
+            from ..models.loss import LossValues
+            idxs = [b[0] for b in buf]
+            sup_b, qry_b, _, qry_meta = collate_episode(
+                [b[1] for b in buf], [b[2] for b in buf])
+            rows_E, snaps_E = self.system.test_adapt_batched(sup_b, qry_b)
+            for e, i in enumerate(idxs):
+                tid = f"test_{i:03d}"
+                rows = [(ft, LossValues(*[float(np.asarray(v)[e])
+                                          for v in vals]))
+                        for ft, vals in rows_E]
+                snapshots = [(ft, jax.tree.map(lambda x: x[e], snap))
+                             for ft, snap in snaps_E]
+                self.saver.log_task_csv("Testing", tid, rows,
+                                        ckpt_step=ckpt_step)
+                if self.vocoder is not None:
+                    sup_e = jax.tree.map(lambda x: x[e], sup_b)
+                    qry_e = jax.tree.map(lambda x: x[e], qry_b)
+                    self._save_test_audio(tid, snapshots, sup_e, qry_e,
+                                          qry_meta[e], ckpt_step)
+                results[tid] = rows
+
+        buf = []
+        for i, (desc, (sup, qry)) in enumerate(episodes):
+            if max_tasks and i >= max_tasks:
+                break
+            if tb <= 1:
+                run_sequential(i, sup, qry)
+                continue
+            buf.append((i, sup, qry))
+            if len(buf) == tb:
+                run_batched(buf)
+                buf = []
+        if buf:
+            # remainder: one smaller batched program (compiles once per
+            # remainder size) — or the sequential path for a single task
+            if len(buf) == 1:
+                run_sequential(*buf[0])
+            else:
+                run_batched(buf)
         return results
 
     def _save_test_audio(self, task_id, snapshots, sup, qry, qry_meta,

@@ -266,3 +266,36 @@ def test_test_adapt_tasks_standard_mode_single(meta_sys):
     tasks = list(meta_sys.test_adapt_tasks(synth_batch(rng, B=2),
                                            synth_batch(rng, B=1)))
     assert len(tasks) == 1 and tasks[0][0] == ""
+
+
+def test_test_adapt_batched_matches_sequential(monkeypatch):
+    """test_adapt_batched == per-episode test_adapt (dropout disabled so
+    the inner-SGD rng draws are irrelevant — including the postnet's
+    hardcoded 0.5): vmapped trajectories must be episode-wise identical
+    to sequential ones."""
+    from metatts_tpu.models import nn as mnn
+    monkeypatch.setattr(mnn, "dropout", lambda rng, x, rate, train: x)
+    cls = get_system("meta")
+    mcfg = tiny_model_cfg()
+    sys = cls(tiny_preprocess_cfg(), mcfg, tiny_train_cfg(),
+              algorithm_cfg("meta"), stats=STATS, n_speakers=4)
+    rng = np.random.RandomState(7)
+    sups = [synth_batch(rng, B=2) for _ in range(2)]
+    qrys = [synth_batch(rng, B=2) for _ in range(2)]
+    sup_E = jax.tree.map(lambda *xs: jnp.stack(xs), *sups)
+    qry_E = jax.tree.map(lambda *xs: jnp.stack(xs), *qrys)
+
+    rows_E, snaps_E = sys.test_adapt_batched(sup_E, qry_E)
+    assert [ft for ft, _ in rows_E] == [0, 5, 10]
+    for e in range(2):
+        rows, snaps = sys.test_adapt(sups[e], qrys[e])
+        for (ft_b, vals_b), (ft_s, vals_s) in zip(rows_E, rows):
+            assert ft_b == ft_s
+            np.testing.assert_allclose(
+                np.asarray(vals_b.total)[e], float(vals_s.total),
+                rtol=2e-4, err_msg=f"episode {e} ft_step {ft_b}")
+        leaf_b = snaps_E[-1][1]["mel_linear"]
+        leaf_s = snaps[-1][1]["mel_linear"]
+        np.testing.assert_allclose(
+            jax.tree.leaves(leaf_b)[0][e], jax.tree.leaves(leaf_s)[0],
+            rtol=2e-4, atol=1e-5)

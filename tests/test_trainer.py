@@ -167,3 +167,34 @@ def test_test_stage_all_systems_with_per_step_audio(alg, tmp_path):
     for ft in (0, 5, 10):
         assert any(f"-FTstep_{ft}.synth" in n for n in figs), \
             f"{alg}: missing figure at adaptation step {ft}: {figs}"
+
+
+def test_test_stage_batched_tasks(tmp_path):
+    """task_batch=2 adapts both stub episodes in ONE vmapped trajectory
+    (System.test_adapt_batched) and writes the same per-task artifact set
+    as the sequential path — CSVs, per-FTstep synth wavs, recon wav."""
+    tcfg = tiny_train_cfg()
+    tcfg["step"].update(total_step=2, log_step=2, val_step=10 ** 9,
+                        save_step=10 ** 9, synth_step=10 ** 9)
+    system = get_system("meta")(tiny_preprocess_cfg(), tiny_model_cfg(),
+                                tcfg, algorithm_cfg("meta"), stats=STATS,
+                                n_speakers=4)
+    out = str(tmp_path)
+    tr = Trainer(system, StubMetaDM(), tcfg, output_dir=out,
+                 exp_name="stub", vocoder=StubVocoder())
+    results = tr.test(task_batch=2)
+    assert set(results) == {"test_000", "test_001"}
+    for tid in results:
+        steps = [s for s, _ in results[tid]]
+        assert steps == [0, 5, 10]
+        assert all(np.isfinite(float(v.total)) for _, v in results[tid])
+        csv = os.path.join(out, "result", "stub", "csv", "Testing",
+                           "step_last", f"{tid}.csv")
+        assert os.path.exists(csv)
+        audio = os.path.join(out, "result", "stub", "audio", "Testing",
+                             "step_last", tid)
+        names = os.listdir(audio)
+        assert any(n.endswith(".recon.wav") for n in names)
+        for ft in (0, 5, 10):
+            assert any(n.endswith(f"FTstep_{ft}.synth.wav")
+                       for n in names), (tid, ft, names)
