@@ -296,6 +296,27 @@ class System:
             yield "", rows, snapshots
             return
         K = sup_batch.texts.shape[0]
+        if self.acfg["adapt"]["test"].get("batch_sub_tasks", True) and K > 1:
+            # the K independent trajectories share every shape (one support
+            # utterance each, the same query batch) — run them as ONE
+            # vmapped batch instead of K serial trajectories
+            import jax.numpy as jnp
+            from ..models.loss import LossValues
+            sup_K = jax.tree.map(
+                lambda x: x[:, None] if hasattr(x, "shape") else x,
+                sup_batch)                      # (K, 1, ...)
+            qry_K = jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (K,) + x.shape)
+                if hasattr(x, "shape") else x, qry_batch)
+            rows_K, snaps_K = self.test_adapt_batched(sup_K, qry_K, ft_steps)
+            for i in range(K):
+                rows = [(ft, LossValues(*[float(np.asarray(v)[i])
+                                          for v in vals]))
+                        for ft, vals in rows_K]
+                snapshots = [(ft, jax.tree.map(lambda x: x[i], snap))
+                             for ft, snap in snaps_K]
+                yield f"_{i}", rows, snapshots
+            return
         for i in range(K):
             sup_i = jax.tree.map(
                 lambda x: x[i:i + 1] if hasattr(x, "shape") else x,

@@ -299,3 +299,33 @@ def test_test_adapt_batched_matches_sequential(monkeypatch):
         np.testing.assert_allclose(
             jax.tree.leaves(leaf_b)[0][e], jax.tree.leaves(leaf_s)[0],
             rtol=2e-4, atol=1e-5)
+
+
+def test_one_shot_batched_sub_tasks_match_sequential(monkeypatch):
+    """1-shot sub-tasks route through ONE vmapped batch by default
+    (test.batch_sub_tasks); trajectories must match the sequential
+    per-utterance path (dropout patched out so rng draws are irrelevant)."""
+    from metatts_tpu.models import nn as mnn
+    monkeypatch.setattr(mnn, "dropout", lambda rng, x, rate, train: x)
+
+    def build(batch_sub_tasks):
+        cls = get_system("meta")
+        sys = cls(tiny_preprocess_cfg(), tiny_model_cfg(), tiny_train_cfg(),
+                  algorithm_cfg("meta"), stats=STATS, n_speakers=4)
+        sys.acfg["adapt"]["test"]["1-shot"] = True
+        sys.acfg["adapt"]["test"]["batch_sub_tasks"] = batch_sub_tasks
+        return sys
+
+    rng = np.random.RandomState(3)
+    sup = synth_batch(rng, B=2)
+    qry = synth_batch(rng, B=2)
+    batched = list(build(True).test_adapt_tasks(sup, qry))
+    sequential = list(build(False).test_adapt_tasks(sup, qry))
+    assert [s for s, _, _ in batched] == ["_0", "_1"]
+    assert [s for s, _, _ in sequential] == ["_0", "_1"]
+    for (sb, rows_b, snaps_b), (ss, rows_s, snaps_s) in zip(batched,
+                                                            sequential):
+        for (ft_b, v_b), (ft_s, v_s) in zip(rows_b, rows_s):
+            assert ft_b == ft_s
+            np.testing.assert_allclose(float(v_b.total), float(v_s.total),
+                                       rtol=2e-4, err_msg=f"{sb} ft={ft_b}")
