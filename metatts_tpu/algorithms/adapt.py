@@ -166,14 +166,16 @@ class Adaptor:
             exact_mcfg = {**self.mcfg, "attention_impl":
                           self.mcfg.get("inner_attention_impl",
                                         "einsum_remat")}
-            # the fast forward's attention impl is measurable per-hardware
-            # (model.fast_attention_impl overrides); the resolve_attn_impl
-            # default runs the flash kernel on TPU. Off-TPU the Pallas call
-            # has no compiled lowering at all, so downgrade to einsum there
-            # (the old unrolled path's fallback contract).
-            from ..models.transformer import resolve_attn_impl
-            fast_impl = self.mcfg.get("fast_attention_impl") or \
-                resolve_attn_impl(self.mcfg)
+            # fast-forward attention impl (model.fast_attention_impl):
+            # default einsum_remat — the measured-fastest single SGD grad
+            # step on v5e (10.7 ms vs einsum 12.2 / flash 13.1 at T=896
+            # bf16, ROUND2.md shootout) and residual-lean (scores are
+            # recomputed, not stored).  "flash" is admissible here (the
+            # custom VJP differentiates only the exact einsum HVP twice)
+            # but measured slower at the step level; off-TPU the Pallas
+            # call has no compiled lowering at all, so downgrade it.
+            fast_impl = self.mcfg.get("fast_attention_impl",
+                                      "einsum_remat")
             from ..utils.backend import is_tpu
             if fast_impl == "flash" and not is_tpu():
                 fast_impl = "einsum"
