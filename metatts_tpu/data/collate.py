@@ -27,7 +27,8 @@ class CollateMeta:
 
 def collate_batch(samples, max_seq_len=1000, with_mels=True,
                   text_bucket=TEXT_BUCKET, mel_bucket=MEL_BUCKET,
-                  fixed_text_len=None, fixed_mel_len=None):
+                  fixed_text_len=None, fixed_mel_len=None,
+                  fixed_slices=None):
     """List of dataset sample dicts -> (Batch, CollateMeta)."""
     src_lens = np.array([len(s["text"]) for s in samples], np.int32)
     L = fixed_text_len or bucket_length(int(src_lens.max()), text_bucket)
@@ -35,7 +36,8 @@ def collate_batch(samples, max_seq_len=1000, with_mels=True,
 
     speaker_ids = np.array([s["speaker"] for s in samples], np.int32)
     if "spk_ref_mel_slices" in samples[0]:
-        max_slices = max(s["spk_ref_mel_slices"].shape[0] for s in samples)
+        max_slices = fixed_slices or max(
+            s["spk_ref_mel_slices"].shape[0] for s in samples)
         S, T40, C40 = (max_slices,) + samples[0]["spk_ref_mel_slices"].shape[1:]
         ref = np.zeros((len(samples), S, T40, C40), np.float32)
         valid = np.zeros((len(samples), S), bool)
@@ -109,12 +111,16 @@ def collate_episode(sup_samples_list, qry_samples_list, max_seq_len=1000):
     L = bucket_length(max(len(s["text"]) for s in all_samples), TEXT_BUCKET)
     T = bucket_length(max(s["mel"].shape[0] for s in all_samples),
                       MEL_BUCKET, max_seq_len)
+    # dvec/encoder modes: slice counts are ragged per utterance; share the
+    # max across the whole meta-batch or the per-episode stacks disagree
+    S = (max(s["spk_ref_mel_slices"].shape[0] for s in all_samples)
+         if "spk_ref_mel_slices" in all_samples[0] else None)
 
     def stack(eps):
         batches, metas = [], []
         for ep in eps:
             b, m = collate_batch(ep, max_seq_len, fixed_text_len=L,
-                                 fixed_mel_len=T)
+                                 fixed_mel_len=T, fixed_slices=S)
             batches.append(b)
             metas.append(m)
         return jax.tree.map(lambda *xs: jnp.stack(xs), *batches), metas

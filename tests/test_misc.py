@@ -196,3 +196,34 @@ def test_is_tpu_recognizes_tunnel_platform(monkeypatch):
     for name in ("tpu", "axon"):
         monkeypatch.setattr(jax, "default_backend", lambda n=name: n)
         assert backend.is_tpu() is True
+
+
+def test_collate_episode_ragged_dvec_slices():
+    """spk_ref_mel_slices counts are ragged per utterance; collate_episode
+    must share the max across the meta-batch (per-episode maxima disagree
+    and the episode stack crashes — dvec/encoder meta training and the
+    batched test stage both hit this)."""
+    import numpy as np
+    from metatts_tpu.data.collate import collate_episode
+
+    rng = np.random.RandomState(0)
+
+    def sample(i, n_slices):
+        d = rng.randint(1, 4, size=(10,)).astype(np.int32)
+        return {"id": f"u{i}", "speaker": 0, "raw_text": "x",
+                "text": rng.randint(1, 360, size=(10,)).astype(np.int32),
+                "mel": rng.randn(int(d.sum()), 8).astype(np.float32),
+                "pitch": rng.randn(10).astype(np.float32),
+                "energy": rng.randn(10).astype(np.float32),
+                "duration": d,
+                "spk_ref_mel_slices":
+                    rng.randn(n_slices, 16, 40).astype(np.float32)}
+
+    sups = [[sample(0, 2), sample(1, 1)], [sample(2, 5), sample(3, 3)]]
+    qrys = [[sample(4, 1)], [sample(5, 4)]]
+    sup, qry, _, _ = collate_episode(sups, qrys, max_seq_len=64)
+    ref, valid = sup.speaker_args
+    assert ref.shape[:3] == (2, 2, 5)          # E, B, shared S bucket
+    assert int(valid[0, 0].sum()) == 2 and int(valid[1, 0].sum()) == 5
+    qref, qvalid = qry.speaker_args
+    assert qref.shape[2] == 5 and int(qvalid[1, 0].sum()) == 4
