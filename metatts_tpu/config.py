@@ -85,9 +85,10 @@ TRAIN_DEFAULTS = {
     # test stage joins when test_task_batch > 1)
     "distributed": "auto",
     # episodes adapted concurrently by the test stage ("auto" = device
-    # count): vmapped trajectories, episode axis P("dp") on the mesh —
-    # the SPMD equivalent of the reference's one-episode-per-GPU DDP test
-    "test_task_batch": 1,
+    # count, the default — the reference's test IS distributed, one
+    # episode per GPU under DDP): vmapped trajectories, episode axis
+    # P("dp") on the mesh; set 1 to force the sequential path
+    "test_task_batch": "auto",
     "optimizer": {
         "batch_size": 80, "betas": [0.9, 0.98], "eps": 1e-9,
         "weight_decay": 0.0, "grad_clip_thresh": 1.0, "grad_acc_step": 1,
