@@ -117,6 +117,40 @@ def main():
                           "synth_forward_ms_chained": round(window(), 2)}),
               flush=True)
 
+    # batched test stage: per-task wall for the full 100-step adaptation
+    # trajectory with snapshot evals, sequential vs 8-wide vmapped
+    # (System.test_adapt_batched) on one chip
+    import jax.tree as jtree
+    sup1 = jtree.map(lambda x: x[0], sup)
+    qry1b = jtree.map(lambda x: x[0], qry)
+    sys8 = MetaSystem(pcfg, copy.deepcopy(C.MODEL_DEFAULTS), tcfg, acfg,
+                      n_speakers=256)
+    t0 = time.time()
+    sys8.test_adapt(sup1, qry1b)        # compile
+    seq_compile = time.time() - t0
+    t0 = time.time()
+    for _ in range(3):
+        sys8.test_adapt(sup1, qry1b)
+    seq_s = (time.time() - t0) / 3
+    EB = 8
+    supE = jtree.map(lambda x: jnp.broadcast_to(x[None], (EB,) + x.shape),
+                     sup1)
+    qryE = jtree.map(lambda x: jnp.broadcast_to(x[None], (EB,) + x.shape),
+                     qry1b)
+    t0 = time.time()
+    sys8.test_adapt_batched(supE, qryE)  # compile
+    bat_compile = time.time() - t0
+    t0 = time.time()
+    for _ in range(3):
+        sys8.test_adapt_batched(supE, qryE)
+    bat_s = (time.time() - t0) / 3
+    print(json.dumps({"test_stage_seq_s_per_task": round(seq_s, 4),
+                      "test_stage_batched8_s_per_task": round(bat_s / EB, 4),
+                      "test_stage_speedup": round(seq_s / (bat_s / EB), 2),
+                      "seq_compile_s": round(seq_compile, 1),
+                      "batched_compile_s": round(bat_compile, 1)}),
+          flush=True)
+
     # conv impl A/B on the supervised baseline step (B=80, the bench's
     # secondary metric): round <=3 TPU numbers were measured on the im2col
     # branch (the == "tpu" gate missed the axon platform)
