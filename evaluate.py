@@ -90,6 +90,7 @@ def main():
             descs = json.load(open(dpath))
             print(f"[eval] speaker regrouping via {dpath}")
         sim_steps, sim_bands = {}, {}
+        mode_pools = {"real": real}
         for kind in ("recon", "synth"):
             if kind == "synth":
                 # evaluate each adaptation saving step separately — pooling
@@ -109,6 +110,13 @@ def main():
                     groups = h.regroup_by_speaker(groups, descs)
                 label = f"{kind}_{args.step}" + (
                     f"_FTstep{ft}" if ft is not None else "")
+                # cross-mode t-SNE pools: recon + the last synth step
+                # (reference tsne_mode_list, e.g. recon vs meta_step20)
+                if kind == "recon":
+                    mode_pools["recon"] = groups
+                else:
+                    mode_pools[f"synth_step{ft}" if ft is not None
+                               else "synth"] = groups
                 r = speaker_verification_eer(*pair_similarity(groups))
                 curve_results[label] = r
                 rows.append((f"{label}_eer", f"{r['eer']:.4f}"))
@@ -134,6 +142,18 @@ def main():
             similarity_step_plot(
                 sim_steps, sim_bands,
                 os.path.join(args.out, "similarity_vs_step.png"))
+        # cross-mode t-SNE: real vs recon vs the LAST adaptation step
+        # (reference visualize.py tsne_mode_list figure)
+        synth_keys = sorted((k for k in mode_pools if k.startswith("synth")),
+                            key=lambda k: int(k.rsplit("step", 1)[-1] or 0)
+                            if k != "synth" else -1)
+        keep = {k: mode_pools[k] for k in ("real", "recon")
+                if k in mode_pools}
+        if synth_keys:
+            keep[synth_keys[-1]] = mode_pools[synth_keys[-1]]
+        if len(keep) >= 2:
+            from metatts_tpu.evaluation.visualize import tsne_mode_plot
+            tsne_mode_plot(keep, os.path.join(args.out, "tsne_modes.png"))
 
     # DET + ROC figures over every evaluated group (reference
     # speaker_verification.py:20 emits both per mode)
@@ -269,6 +289,7 @@ def run_matrix(args):
     # a None entry evaluates over all synth wavs regardless of step.
     ft_steps = cfg.get("ft_step_list", [None])
     sim_steps, sim_bands = {}, {}
+    mode_pools = {"real": real}
     from metatts_tpu.evaluation.mos import mean_confidence_interval
     for mode, mode_cfg in cfg.get("modes", {}).items():
         # a mode maps to a result dir, or to {dir, ft_step_list} for a
@@ -289,6 +310,14 @@ def run_matrix(args):
                     label = f"{mode}_{kind}_{step}" + (
                         f"_FTstep{ft}" if ft is not None else "")
                     r = speaker_verification_eer(*pair_similarity(groups))
+                    if kind == "recon":
+                        mode_pools.setdefault("recon", groups)
+                    elif ft == (mode_fts[-1] if mode_fts else None):
+                        # last adaptation step represents the mode in the
+                        # cross-mode t-SNE (reference tsne_mode_list, e.g.
+                        # ['recon', 'base_step20', 'meta_step20'])
+                        mode_pools[f"{mode}_step{ft}" if ft is not None
+                                   else mode] = groups
                     curve_results[label] = r
                     rows.append((label, f"{r['eer']:.4f}"))
                     sims = h.similarity_to_enrollment(real, groups)
@@ -313,6 +342,11 @@ def run_matrix(args):
         # evaluation/similarity_plot.py errorbar_plot)
         similarity_step_plot(sim_steps, sim_bands,
                              os.path.join(out_dir, "similarity_vs_step.png"))
+    if len(mode_pools) >= 2:
+        # real vs recon vs each mode's last adaptation step, one joint
+        # embedding (reference visualize.py mode x speaker figure)
+        from metatts_tpu.evaluation.visualize import tsne_mode_plot
+        tsne_mode_plot(mode_pools, os.path.join(out_dir, "tsne_modes.png"))
     if args.mos or cfg.get("mos"):
         # reference compute_mos.py scores real once, then every mode x step
         # tree; per-mode MOS-vs-step figures land under <out>/<mode>/mos.png

@@ -40,6 +40,78 @@ def tsne_plot(dvecs_by_group, out_path, perplexity=30, seed=0):
     return emb
 
 
+def tsne_mode_plot(groups_by_mode, out_path, speakers=None,
+                   n_per_speaker=16, perplexity=40, seed=0):
+    """Cross-mode t-SNE (reference ``visualize.py``'s headline figure):
+    d-vectors from several modes (real / recon / <mode>_step<k>) embedded
+    JOINTLY, then plotted with hue = mode ("Approach") and marker =
+    speaker, for a small speaker subset (reference
+    ``tsne_pseudo_speaker_list`` picks 3).
+
+    groups_by_mode: {mode: {speaker_key: (N, D)}}.  Speaker keys may be
+    bare ids (enrollment dirs) or full episode labels
+    ('<corpus>_<lang>-spk_<id>') — matched by the '-spk_' suffix like the
+    similarity metrics.  Returns the output path or None when degenerate.
+    """
+    from sklearn.manifold import TSNE
+
+    def bare(key):
+        return str(key).split("-spk_", 1)[-1]
+
+    by_mode = {m: {bare(k): np.asarray(v) for k, v in g.items()}
+               for m, g in groups_by_mode.items() if g}
+    if len(by_mode) < 2:
+        return None
+    common = sorted(set.intersection(*[set(g) for g in by_mode.values()]))
+    speakers = [bare(s) for s in (speakers or common[:3]) if bare(s)
+                in common]
+    if not speakers:
+        return None
+    vecs, mode_lab, spk_lab = [], [], []
+    for mode, g in by_mode.items():
+        for s in speakers:
+            v = g[s][:n_per_speaker]
+            vecs.append(v)
+            mode_lab += [mode] * len(v)
+            spk_lab += [s] * len(v)
+    x = np.concatenate(vecs)
+    if len(x) < 8:
+        return None
+    perplexity = max(1, min(perplexity, (len(x) - 1) // 3))
+    emb = TSNE(n_components=2, perplexity=perplexity, init="pca",
+               random_state=seed).fit_transform(x)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    markers = ["o", "^", "x", "s", "D", "v"]
+    colors = plt.rcParams["axes.prop_cycle"].by_key()["color"]
+    modes = list(by_mode)
+    off = 0
+    for mi, mode in enumerate(modes):
+        n = sum(1 for l in mode_lab if l == mode)
+        seg = slice(off, off + n)
+        segspk = spk_lab[off:off + n]
+        for si, s in enumerate(speakers):
+            idx = [off + i for i, l in enumerate(segspk) if l == s]
+            ax.scatter(emb[idx, 0], emb[idx, 1], s=18,
+                       marker=markers[si % len(markers)],
+                       color=colors[mi % len(colors)],
+                       label=mode if si == 0 else None,
+                       alpha=0.75, linewidths=0.5)
+        off += n
+    ax.legend(fontsize=7, title="Approach")
+    ax.set_xlabel("dim-1")
+    ax.set_ylabel("dim-2")
+    ax.set_title("d-vector t-SNE by approach (marker = speaker)")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=130)
+    plt.close(fig)
+    return out_path
+
+
 def similarity_density_plot(same_scores, diff_scores, out_path):
     """Overlaid histograms of same/different-speaker cosine scores."""
     import matplotlib

@@ -290,3 +290,18 @@ def test_run_matrix_per_mode_ft_steps(tmp_path):
     assert "m_global_synth_step_last_FTstep7" not in report
     assert "m_custom_synth_step_last_FTstep7" in report
     assert "m_custom_synth_step_last_FTstep0" not in report
+
+
+def test_tsne_mode_plot(tmp_path):
+    """Cross-mode t-SNE (reference visualize.py figure): joint embedding,
+    hue = mode, marker = speaker; keys matched by the '-spk_' suffix."""
+    from metatts_tpu.evaluation.visualize import tsne_mode_plot
+    rng = np.random.RandomState(0)
+    real = {"7": rng.randn(8, 16) + 3, "9": rng.randn(8, 16) - 3}
+    synth = {"L_en-spk_7": rng.randn(8, 16) + 2.5,
+             "L_en-spk_9": rng.randn(8, 16) - 2.5}
+    out = tmp_path / "tsne_modes.png"
+    path = tsne_mode_plot({"real": real, "meta_step10": synth}, str(out))
+    assert path and out.exists() and out.stat().st_size > 0
+    # single mode -> no figure (degenerate)
+    assert tsne_mode_plot({"real": real}, str(tmp_path / "x.png")) is None
