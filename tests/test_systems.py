@@ -329,3 +329,28 @@ def test_one_shot_batched_sub_tasks_match_sequential(monkeypatch):
             assert ft_b == ft_s
             np.testing.assert_allclose(float(v_b.total), float(v_s.total),
                                        rtol=2e-4, err_msg=f"{sb} ft={ft_b}")
+
+
+def test_test_adapt_batched_dvec_tuple_args():
+    """Batched trajectories with tuple speaker_args (ref-mel slices +
+    validity masks, the dvec/encoder modes) — finite losses, moving
+    params, correct leading episode axis."""
+    cls = get_system("meta")
+    sys = cls(tiny_preprocess_cfg(), tiny_model_cfg(ge2e=GE2E_TINY),
+              tiny_train_cfg(), algorithm_cfg("meta", speaker_emb="dvec"),
+              stats=STATS, n_speakers=4)
+    rng = np.random.RandomState(11)
+    sups = [synth_batch(rng, B=2, dvec_dims=DVEC_DIMS) for _ in range(2)]
+    qrys = [synth_batch(rng, B=2, dvec_dims=DVEC_DIMS) for _ in range(2)]
+    sup_E = jax.tree.map(lambda *xs: jnp.stack(xs), *sups)
+    qry_E = jax.tree.map(lambda *xs: jnp.stack(xs), *qrys)
+    rows, snaps = sys.test_adapt_batched(sup_E, qry_E)
+    assert [ft for ft, _ in rows] == [0, 5, 10]
+    for _, vals in rows:
+        tot = np.asarray(vals.total)
+        assert tot.shape == (2,) and np.isfinite(tot).all()
+    p0 = snaps[0][1]["mel_linear"]
+    pN = snaps[-1][1]["mel_linear"]
+    delta = sum(float(np.abs(a - b).sum())
+                for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(pN)))
+    assert delta > 0
