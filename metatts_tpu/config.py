@@ -89,6 +89,10 @@ TRAIN_DEFAULTS = {
     # episode per GPU under DDP): vmapped trajectories, episode axis
     # P("dp") on the mesh; set 1 to force the sequential path
     "test_task_batch": "auto",
+    # per-step wall-time stats, the reference's always-on 'simple'
+    # Lightning profiler (main.py:37); "trace" also captures a
+    # jax.profiler XPlane trace of steps 3-8; "off" disables
+    "profile": "simple",
     "optimizer": {
         "batch_size": 80, "betas": [0.9, 0.98], "eps": 1e-9,
         "weight_decay": 0.0, "grad_clip_thresh": 1.0, "grad_acc_step": 1,

@@ -105,8 +105,23 @@ class Trainer:
         except ImportError:
             pbar = None
 
+        # reference parity: the Trainer always runs Lightning's 'simple'
+        # profiler (main.py:37). "simple" = host-side per-step wall stats
+        # (mean/p50/p95); "trace" additionally captures a jax.profiler
+        # XPlane trace of a few steps; "off" disables.
+        prof_mode = self.tcfg.get("profile", "simple")
+        from ..utils.profiling import StepTimer, trace, device_memory_stats
+        timer = StepTimer() if prof_mode != "off" else None
+        trace_cm = None
+
         t0 = time.time()
         while sys.global_step < total:
+            if prof_mode == "trace" and sys.global_step == 3 and \
+                    trace_cm is None:
+                trace_cm = trace(os.path.join(self.saver.log_dir, "profile"))
+                trace_cm.__enter__()
+            if timer:
+                timer.__enter__()
             if meta:
                 item = next(gen)
                 sup, qry = item[0], item[1]
@@ -120,12 +135,28 @@ class Trainer:
             if pbar is not None:
                 pbar.update(1)
                 pbar.set_postfix(total=f"{float(losses.total):.3f}")
+            elif timer:
+                float(losses.total)   # force host sync so wall is real
+            if timer:
+                timer.__exit__()
+            if trace_cm is not None and step >= 8:
+                trace_cm.__exit__(None, None, None)
+                trace_cm = None
+                prof_mode = "simple"
             if step % log_every == 0 or step == total:
                 self.saver.log_train(step, losses)
                 self.logger.log_metrics(step, losses.to_dict("train/"))
                 rate = step / max(time.time() - t0, 1e-9)
+                prof = ""
+                if timer and timer.stats():
+                    s = timer.stats()
+                    prof = (f" step {s['mean_ms']:.0f}ms "
+                            f"p95 {s['p95_ms']:.0f}ms")
+                    self.logger.log_metrics(step, {
+                        "profile/step_mean_ms": s["mean_ms"],
+                        "profile/step_p95_ms": s["p95_ms"]})
                 print(f"step {step}/{total} total={float(losses.total):.4f} "
-                      f"mel={float(losses.mel):.4f} ({rate:.2f} it/s)")
+                      f"mel={float(losses.mel):.4f} ({rate:.2f} it/s{prof})")
             if step % val_every == 0 and hasattr(self.dm, "val_episodes"):
                 self.validate(step)
             synth_every = self.steps.get("synth_step", 0)
@@ -142,6 +173,19 @@ class Trainer:
                                 step)
                 save_checkpoint(os.path.join(self.ckpt_dir, "last.ckpt"),
                                 sys.params, sys.state, sys.opt_state, step)
+        if timer and timer.stats():
+            s = timer.stats()
+            mem = device_memory_stats()
+            peak = max((m.get("peak_bytes_in_use") or 0
+                        for m in mem.values()), default=0)
+            print(f"[profile] {s['steps']} steps: mean {s['mean_ms']:.1f}ms "
+                  f"p50 {s['p50_ms']:.1f}ms p95 {s['p95_ms']:.1f}ms "
+                  f"({s['steps_per_sec']:.2f} it/s)"
+                  + (f"; peak HBM {peak / 2**30:.2f} GiB" if peak else ""))
+            self.logger.log_metrics(sys.global_step, {
+                "profile/final_mean_ms": s["mean_ms"],
+                "profile/final_p95_ms": s["p95_ms"],
+                **({"profile/peak_hbm_bytes": peak} if peak else {})})
         return sys
 
     # ---------------------------------------------------------- validate

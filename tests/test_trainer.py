@@ -198,3 +198,25 @@ def test_test_stage_batched_tasks(tmp_path):
         for ft in (0, 5, 10):
             assert any(n.endswith(f"FTstep_{ft}.synth.wav")
                        for n in names), (tid, ft, names)
+
+
+def test_fit_profiles_step_times(tmp_path, capsys):
+    """train.profile 'simple' (the reference's always-on Lightning
+    profiler) logs per-step wall stats to the metrics stream and prints a
+    final summary."""
+    import json
+    tcfg = tiny_train_cfg()
+    tcfg["step"].update(total_step=3, log_step=2, val_step=10 ** 9,
+                        save_step=10 ** 9, synth_step=10 ** 9)
+    system = get_system("meta")(tiny_preprocess_cfg(), tiny_model_cfg(),
+                                tcfg, algorithm_cfg("meta"), stats=STATS,
+                                n_speakers=4)
+    tr = Trainer(system, StubMetaDM(), tcfg, output_dir=str(tmp_path),
+                 exp_name="prof")
+    tr.fit(max_steps=3)
+    out = capsys.readouterr().out
+    assert "[profile]" in out and "p95" in out
+    events = os.path.join(str(tmp_path), "log", "prof", "events.jsonl")
+    recs = [json.loads(l) for l in open(events)]
+    assert any("profile/step_mean_ms" in r.get("metrics", {}) or
+               "profile/step_mean_ms" in r for r in recs), recs[:3]
