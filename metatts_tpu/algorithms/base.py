@@ -122,6 +122,31 @@ class System:
         losses = self.adaptor.loss(batch, out)
         return losses.total, (losses, new_state)
 
+    # ----------------------------------------------- batched validation
+
+    def validation_step_batched(self, sup_stack, qry_stack):
+        """Meta-style validation vmapped over a leading episode axis and
+        sharded ``P("dp")`` on the mesh — all three systems validate with
+        the same first-order ``meta_learn`` (the reference shares vanilla
+        ``meta_learn`` across them, ``baseline.py:41-53``), so the batched
+        form lives on the base.  Returns LossValues with (E,) fields."""
+        import jax.numpy as jnp  # noqa: F401  (parity with test path)
+        task = self.acfg["adapt"]["train"]
+        E = jax.tree.leaves(sup_stack)[0].shape[0]
+
+        def val_all(params, state, sup_E, qry_E, rngs):
+            return jax.vmap(lambda s, q, r: self.adaptor.meta_learn(
+                params, state, s, q, steps=task["steps"], lr=task["lr"],
+                train=False, rng=r)[0])(sup_E, qry_E, rngs)
+
+        fn = self._cached_jit("val_batched", val_all)
+        if self.mesh is not None and \
+                E % int(np.prod(self.mesh.devices.shape)) == 0:
+            sup_stack = self._shard_episode_batch(sup_stack, "val batch")
+            qry_stack = self._shard_episode_batch(qry_stack, "val batch")
+        return fn(self.params, self.state, sup_stack, qry_stack,
+                  jax.random.split(self.next_rng(), E))
+
     # --------------------------------------------------- test adaptation
 
     def test_adapt(self, sup_batch, qry_batch, ft_steps=None):

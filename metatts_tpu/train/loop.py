@@ -190,26 +190,58 @@ class Trainer:
 
     # ---------------------------------------------------------- validate
 
-    def validate(self, step, max_tasks=None):
+    def validate(self, step, max_tasks=None, task_batch=None):
+        """Episodic validation; like the test stage, episodes run in
+        vmapped batches of ``task_batch`` (default ``train.test_task_batch``,
+        "auto" = device count) sharded over the mesh — the reference
+        validates under the same DDP distribution it trains with."""
+        import jax
         from ..data.collate import collate_episode
+        tb = task_batch or self.tcfg.get("test_task_batch", 1)
+        if tb == "auto":
+            tb = max(1, len(jax.devices()))
         totals = []
+        first_pair = [None]
+
+        def record(i, losses_list):
+            totals.append(losses_list)
+            self.saver.log_task_csv("Validation", f"val_{i:03d}",
+                                    [(step, LossValues(*losses_list))])
+
+        def run_batched(buf):
+            idxs = [b[0] for b in buf]
+            sup_b, qry_b, _, _ = collate_episode(
+                [b[1] for b in buf], [b[2] for b in buf])
+            if first_pair[0] is None:
+                first_pair[0] = (jax.tree.map(lambda x: x[0], sup_b),
+                                 jax.tree.map(lambda x: x[0], qry_b))
+            if len(buf) == 1:
+                losses = self.system.validation_step(
+                    _first_episode(sup_b), _first_episode(qry_b))
+                record(idxs[0], [float(x) for x in losses])
+                return
+            losses_E = self.system.validation_step_batched(sup_b, qry_b)
+            for e, i in enumerate(idxs):
+                record(i, [float(np.asarray(x)[e]) for x in losses_E])
+
+        buf = []
         for i, (desc, (sup, qry)) in enumerate(self.dm.val_episodes()):
             if max_tasks and i >= max_tasks:
                 break
-            sup_b, qry_b, _, _ = collate_episode([sup], [qry])
-            sup_e, qry_e = _first_episode(sup_b), _first_episode(qry_b)
-            losses = self.system.validation_step(sup_e, qry_e)
-            totals.append([float(x) for x in losses])
-            self.saver.log_task_csv("Validation", f"val_{i:03d}",
-                                    [(step, LossValues(*totals[-1]))])
-            if i == 0 and self.vocoder is not None:
-                # first-batch audio + synthesized-vs-ground-truth figure
-                # (reference Saver on_validation_batch_end batch_idx==0,
-                # saver.py:96-105)
-                try:
-                    self._save_val_sample(step, sup_e, qry_e)
-                except Exception as e:  # synthesis must not kill validation
-                    print(f"[val synth @ {step}] failed: {e}")
+            buf.append((i, sup, qry))
+            if len(buf) == max(1, int(tb)):
+                run_batched(buf)
+                buf = []
+        if buf:
+            run_batched(buf)
+        if first_pair[0] is not None and self.vocoder is not None:
+            # first-batch audio + synthesized-vs-ground-truth figure
+            # (reference Saver on_validation_batch_end batch_idx==0,
+            # saver.py:96-105)
+            try:
+                self._save_val_sample(step, *first_pair[0])
+            except Exception as e:  # synthesis must not kill validation
+                print(f"[val synth @ {step}] failed: {e}")
         if totals:
             mean = np.mean(totals, axis=0)
             print(f"[val @ {step}] total={mean[0]:.4f} mel={mean[1]:.4f}")

@@ -220,3 +220,25 @@ def test_fit_profiles_step_times(tmp_path, capsys):
     recs = [json.loads(l) for l in open(events)]
     assert any("profile/step_mean_ms" in r.get("metrics", {}) or
                "profile/step_mean_ms" in r for r in recs), recs[:3]
+
+
+def test_validate_batched_matches_artifacts(tmp_path):
+    """Batched validation (task_batch=2) writes the same per-task CSVs and
+    the first-batch audio/figure as the sequential path."""
+    tcfg = tiny_train_cfg()
+    tcfg["step"].update(total_step=2, log_step=2, val_step=10 ** 9,
+                        save_step=10 ** 9, synth_step=10 ** 9)
+    system = get_system("meta")(tiny_preprocess_cfg(), tiny_model_cfg(),
+                                tcfg, algorithm_cfg("meta"), stats=STATS,
+                                n_speakers=4)
+    tr = Trainer(system, StubMetaDM(), tcfg, output_dir=str(tmp_path),
+                 exp_name="stub", vocoder=StubVocoder())
+    totals = tr.validate(step=2, task_batch=2)
+    assert len(totals) == 2
+    assert all(np.isfinite(t[0]) for t in totals)
+    csv_dir = os.path.join(str(tmp_path), "result", "stub", "csv",
+                           "Validation", "step_last")
+    assert sorted(os.listdir(csv_dir)) == ["val_000.csv", "val_001.csv"]
+    audio_dir = os.path.join(str(tmp_path), "result", "stub", "audio",
+                             "Validation", "step_last", "step_2")
+    assert any(n.endswith(".wav") for n in os.listdir(audio_dir))
