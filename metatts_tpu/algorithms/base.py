@@ -149,6 +149,22 @@ class System:
 
     # --------------------------------------------------- test adaptation
 
+    def _snapshot_keep(self, n_snapshots, episodes=1):
+        """Return the snapshot-materialization fn for the test stage:
+        identity (device-resident) or ``jax.device_get`` (host), per
+        ``adapt.test.snapshot_offload`` — see the ``test_adapt`` docstring
+        for the byte math."""
+        import os
+        mode = self.acfg["adapt"]["test"].get("snapshot_offload", "auto")
+        if mode == "auto":
+            param_bytes = sum(x.size * x.dtype.itemsize
+                              for x in jax.tree.leaves(self.params))
+            budget = float(os.environ.get(
+                "METATTS_SNAPSHOT_HBM_BUDGET", 4e9))
+            mode = ("device" if n_snapshots * episodes * param_bytes
+                    <= budget else "host")
+        return (lambda p: p) if mode == "device" else jax.device_get
+
     def test_adapt(self, sup_batch, qry_batch, ft_steps=None):
         """Test-time long adaptation with snapshot evaluation, SHARED by all
         three systems exactly as the reference shares
@@ -170,10 +186,19 @@ class System:
         ``(ft_step, LossValues)`` and ``snapshots`` a list of
         ``(ft_step, params)`` — one per saving step including step 0 — so the
         caller can synthesize per-adaptation-step audio (the EER-vs-steps
-        evaluation input, reference ``saver.py:130-194``).  Snapshots are
-        host-offloaded (``jax.device_get``): at base scale each is ~140 MB
-        of fp32 params, so keeping the 7 saving-step snapshots on a 16 G
-        chip would pin ~1 GB of HBM for the rest of the episode.
+        evaluation input, reference ``saver.py:130-194``).
+
+        Snapshot residency (``adapt.test.snapshot_offload``): the consumer
+        (``Trainer._save_test_audio``) feeds every snapshot straight back
+        into a jitted synthesis forward, so host-offloading them costs a
+        full device->host->device round trip per snapshot — at base scale
+        ~140 MB fp32 each, ~2 GB per task, which through the remote-TPU
+        tunnel dominates the test stage (measured 22.0 s/task offloaded vs
+        ~1.5 s compute).  "auto" therefore keeps snapshots in HBM while
+        ``n_snapshots x episodes x param_bytes`` fits a budget
+        (``METATTS_SNAPSHOT_HBM_BUDGET``, default 4 GB — a quarter of a
+        16 G v5e chip) and falls back to ``jax.device_get`` beyond it
+        (e.g. 8-wide batched trajectories at base scale).
         """
         test_cfg = self.acfg["adapt"]["test"]
         lr = test_cfg["lr"]
@@ -206,8 +231,9 @@ class System:
         params = self.params
         rows.append((0, eval_fn(params, self.state, sup_batch, qry_batch,
                                 None)))
-        snapshots = [(0, jax.device_get(params))]
         targets = sorted(s for s in saving_steps if 0 < s <= max_steps)
+        keep = self._snapshot_keep(len(targets) + 1)
+        snapshots = [(0, keep(params))]
         # ONE compiled chunk program, sized to the gcd of the saving-step
         # gaps, looped to each target — the per-gap programs (5/10/30/50
         # for the reference schedule) each cost a multi-minute cold compile
@@ -226,7 +252,7 @@ class System:
             done = target
             rows.append((target, eval_fn(params, self.state, sup_batch,
                                          qry_batch, None)))
-            snapshots.append((target, jax.device_get(params)))
+            snapshots.append((target, keep(params)))
         return rows, snapshots
 
     def test_adapt_batched(self, sup_stack, qry_stack, ft_steps=None):
@@ -293,8 +319,9 @@ class System:
             params_E = jax.tree.map(
                 lambda x: jax.device_put(x, self._ep), params_E)
 
+        keep = self._snapshot_keep(len(targets) + 1, episodes=E)
         rows = [(0, eval_fn(params_E, sup_stack, qry_stack))]
-        snapshots = [(0, jax.device_get(params_E))]
+        snapshots = [(0, keep(params_E))]
         done = 0
         for target in targets:
             for _ in range((target - done) // chunk):
@@ -302,7 +329,7 @@ class System:
                                     jax.random.split(self.next_rng(), E))
             done = target
             rows.append((target, eval_fn(params_E, sup_stack, qry_stack)))
-            snapshots.append((target, jax.device_get(params_E)))
+            snapshots.append((target, keep(params_E)))
         return rows, snapshots
 
     def test_adapt_tasks(self, sup_batch, qry_batch, ft_steps=None):

@@ -124,7 +124,12 @@ ALGORITHM_DEFAULTS = {
         "test": {"ways": 1, "shots": 5, "queries": 1, "lr": 0.001,
                  "steps": 100,
                  "saving_steps": [5, 10, 20, 50, 100],
-                 "avg_train_spk_emb": False, "1-shot": False},
+                 "avg_train_spk_emb": False, "1-shot": False,
+                 # saving-step param snapshots: "device" | "host" | "auto"
+                 # (auto = stay in HBM within a byte budget; host transfers
+                 # are the test stage's wall-clock bottleneck on a remote
+                 # TPU — see System.test_adapt)
+                 "snapshot_offload": "auto"},
         # iMAML-only:
         "imaml": {"reg_param": 0.5, "cg_steps": 5},
     },

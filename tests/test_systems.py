@@ -123,6 +123,27 @@ def test_test_adapt_snapshots(meta_sys):
     assert delta > 0
 
 
+def test_snapshot_offload_policy(meta_sys, monkeypatch):
+    # auto: tiny params fit the budget -> snapshots stay device-resident
+    # (the Trainer feeds them back into jitted synthesis; host round trips
+    # dominate the test stage on a remote TPU — see System.test_adapt)
+    keep = meta_sys._snapshot_keep(7)
+    assert isinstance(keep(meta_sys.params["mel_linear"]["w"]), jax.Array)
+    # auto under a tiny budget -> host offload (np.ndarray leaves)
+    monkeypatch.setenv("METATTS_SNAPSHOT_HBM_BUDGET", "1")
+    keep = meta_sys._snapshot_keep(7)
+    assert isinstance(keep(meta_sys.params["mel_linear"]["w"]), np.ndarray)
+    monkeypatch.delenv("METATTS_SNAPSHOT_HBM_BUDGET")
+    # explicit modes override auto
+    meta_sys.acfg["adapt"]["test"]["snapshot_offload"] = "host"
+    assert isinstance(meta_sys._snapshot_keep(7)(
+        meta_sys.params["mel_linear"]["w"]), np.ndarray)
+    meta_sys.acfg["adapt"]["test"]["snapshot_offload"] = "device"
+    assert isinstance(meta_sys._snapshot_keep(7)(
+        meta_sys.params["mel_linear"]["w"]), jax.Array)
+    meta_sys.acfg["adapt"]["test"]["snapshot_offload"] = "auto"
+
+
 @pytest.mark.parametrize("alg", ["baseline", "imaml"])
 def test_test_adapt_shared_by_all_systems(alg, baseline_sys):
     """Reference shares BaseAdaptorSystem.test_step across meta/imaml/
