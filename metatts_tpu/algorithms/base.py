@@ -266,8 +266,11 @@ class System:
         an N-chip mesh each chip owns E/N trajectories, on one chip the
         episode axis batches the MXU.  Semantics match ``test_adapt``
         episode-wise (dropout-active first-order inner SGD, deterministic
-        snapshot evals, host-offloaded snapshots); only the dropout rng
-        draws differ from a sequential run.
+        snapshot evals); only the dropout rng draws differ from a
+        sequential run.  Snapshot residency follows the same
+        ``adapt.test.snapshot_offload`` policy (see the ``test_adapt``
+        docstring) with the episode count multiplying the HBM budget math —
+        E-wide base-scale trajectories usually tip "auto" to host.
 
         Returns ``(rows, snapshots)`` where every loss field and every
         snapshot leaf carries the leading episode axis.

@@ -380,18 +380,31 @@ class Trainer:
             sup_b, qry_b, _, qry_meta = collate_episode(
                 [b[1] for b in buf], [b[2] for b in buf])
             rows_E, snaps_E = self.system.test_adapt_batched(sup_b, qry_b)
+
+            # slice one episode out of a stacked pytree in ONE compiled
+            # program: per-leaf x[e] would dispatch hundreds of tiny slice
+            # ops per snapshot per episode through the remote tunnel (and
+            # gather P("dp")-sharded leaves leaf-by-leaf on a mesh)
+            jit_slice = self.system._cached_jit(
+                "episode_slice",
+                lambda tree, e: jax.tree.map(lambda x: x[e], tree))
+
+            def slice_ep(tree, e):
+                if isinstance(jax.tree.leaves(tree)[0], jax.Array):
+                    return jit_slice(tree, e)
+                return jax.tree.map(lambda x: x[e], tree)  # host-offloaded
+
             for e, i in enumerate(idxs):
                 tid = f"test_{i:03d}"
                 rows = [(ft, LossValues(*[float(np.asarray(v)[e])
                                           for v in vals]))
                         for ft, vals in rows_E]
-                snapshots = [(ft, jax.tree.map(lambda x: x[e], snap))
-                             for ft, snap in snaps_E]
+                snapshots = [(ft, slice_ep(snap, e)) for ft, snap in snaps_E]
                 self.saver.log_task_csv("Testing", tid, rows,
                                         ckpt_step=ckpt_step)
                 if self.vocoder is not None:
-                    sup_e = jax.tree.map(lambda x: x[e], sup_b)
-                    qry_e = jax.tree.map(lambda x: x[e], qry_b)
+                    sup_e = slice_ep(sup_b, e)
+                    qry_e = slice_ep(qry_b, e)
                     self._save_test_audio(tid, snapshots, sup_e, qry_e,
                                           qry_meta[e], ckpt_step)
                 results[tid] = rows

@@ -134,14 +134,16 @@ def test_snapshot_offload_policy(meta_sys, monkeypatch):
     keep = meta_sys._snapshot_keep(7)
     assert isinstance(keep(meta_sys.params["mel_linear"]["w"]), np.ndarray)
     monkeypatch.delenv("METATTS_SNAPSHOT_HBM_BUDGET")
-    # explicit modes override auto
-    meta_sys.acfg["adapt"]["test"]["snapshot_offload"] = "host"
+    # explicit modes override auto; monkeypatch.setitem restores the
+    # module-scoped fixture's acfg even if an assertion fails mid-test
+    monkeypatch.setitem(meta_sys.acfg["adapt"]["test"],
+                        "snapshot_offload", "host")
     assert isinstance(meta_sys._snapshot_keep(7)(
         meta_sys.params["mel_linear"]["w"]), np.ndarray)
-    meta_sys.acfg["adapt"]["test"]["snapshot_offload"] = "device"
+    monkeypatch.setitem(meta_sys.acfg["adapt"]["test"],
+                        "snapshot_offload", "device")
     assert isinstance(meta_sys._snapshot_keep(7)(
         meta_sys.params["mel_linear"]["w"]), jax.Array)
-    meta_sys.acfg["adapt"]["test"]["snapshot_offload"] = "auto"
 
 
 @pytest.mark.parametrize("alg", ["baseline", "imaml"])

@@ -46,13 +46,36 @@ def main():
 
     system = MetaSystem(pcfg, copy.deepcopy(C.MODEL_DEFAULTS), tcfg, acfg,
                         n_speakers=256)
-    t0 = time.time()
-    system.test_adapt(sup1, qry1)        # compile
-    seq_compile = time.time() - t0
-    t0 = time.time()
-    for _ in range(3):
-        system.test_adapt(sup1, qry1)
-    seq_s = (time.time() - t0) / 3
+
+    def timed(fn, sup, reps=3):
+        """Wall-time fn(sup') with proper sync through the axon tunnel:
+
+        * fetch VALUES (device sum -> host scalar) of the last row's loss
+          and a snapshot leaf — block_until_ready alone has under-reported
+          here;
+        * thread a VALUE-CHANGING data dependency from the loss into the
+          next rep's support mels.  The scale must survive fp32 addition:
+          ``mels + loss*1e-30`` underflows to bit-identical inputs, and
+          bit-identical (executable, args) reps through the tunnel can be
+          served without re-executing (measured 0.092 s/"task" for a
+          100-step trajectory whose compute floor is ~1 s).
+        """
+        per_rep = []
+        for r in range(reps):
+            t0 = time.time()
+            rows, snapshots = fn(sup)
+            last_loss = rows[-1][1].total
+            float(np.asarray(jnp.asarray(last_loss).sum()))
+            float(np.asarray(jtree.leaves(snapshots[-1][1])[0].sum()))
+            per_rep.append(time.time() - t0)
+            eps = jnp.asarray(last_loss).mean() * 1e-9 + (r + 1) * 1e-6
+            sup = sup._replace(mels=sup.mels + eps)
+        return per_rep
+
+    seq_compile = timed(lambda s: system.test_adapt(s, qry1), sup1,
+                        reps=1)[0]
+    seq_s = float(np.mean(timed(lambda s: system.test_adapt(s, qry1),
+                                sup1)))
     print(json.dumps({"test_stage_seq_s_per_task": round(seq_s, 4),
                       "seq_compile_s": round(seq_compile, 1)}), flush=True)
 
@@ -61,14 +84,12 @@ def main():
                      sup1)
     qryE = jtree.map(lambda x: jnp.broadcast_to(x[None], (EB,) + x.shape),
                      qry1)
-    t0 = time.time()
-    system.test_adapt_batched(supE, qryE)  # compile
-    bat_compile = time.time() - t0
-    t0 = time.time()
-    for _ in range(3):
-        system.test_adapt_batched(supE, qryE)
-    bat_s = (time.time() - t0) / 3
+    bat_compile = timed(lambda s: system.test_adapt_batched(s, qryE), supE,
+                        reps=1)[0]
+    bat_s = float(np.mean(timed(
+        lambda s: system.test_adapt_batched(s, qryE), supE)))
     print(json.dumps({"test_stage_batched8_s_per_task": round(bat_s / EB, 4),
+                      "test_stage_batched8_wall_s": round(bat_s, 4),
                       "test_stage_speedup": round(seq_s / (bat_s / EB), 2),
                       "batched_compile_s": round(bat_compile, 1)}),
           flush=True)
