@@ -41,6 +41,11 @@ def main():
                     help="converted official MBNet npz "
                          "(tools/convert_torch_weights.py mbnet) — enables "
                          "the JAX-native mean-net scorer")
+    ap.add_argument("--wav2vec2-weights", type=str, default=None,
+                    help="converted wav2vec2 npz "
+                         "(tools/convert_torch_weights.py wav2vec2) — "
+                         "enables the JAX-native SSL scorer (calibrated "
+                         "when the npz carries a MOS regression head)")
     ap.add_argument("--out", type=str, default="eval_out")
     ap.add_argument("--max-per-speaker", type=int, default=16)
     ap.add_argument("--mos", action="store_true",
@@ -164,6 +169,7 @@ def main():
         rows += mos_rows(args.real, args.result, args.step,
                          args.max_per_speaker, args.mosnet_weights,
                          mbnet_weights=args.mbnet_weights,
+                         wav2vec2_weights=args.wav2vec2_weights,
                          out_dir=args.out)
 
     path = h.write_report(os.path.join(args.out, "eer.txt"), rows)
@@ -187,8 +193,8 @@ def discover_ft_steps(result_dir, step):
 
 
 def mos_rows(real_dir, result_dir, step, max_per_speaker,
-             mosnet_weights=None, mbnet_weights=None, out_dir=None,
-             summary=None):
+             mosnet_weights=None, mbnet_weights=None, wav2vec2_weights=None,
+             out_dir=None, summary=None):
     """Pseudo-MOS over real + synthesized wavs (reference
     evaluation/compute_mos.py:25,52).
 
@@ -204,7 +210,8 @@ def mos_rows(real_dir, result_dir, step, max_per_speaker,
                                             try_register_mosnet_native,
                                             try_register_mbnet,
                                             try_register_mbnet_native,
-                                            try_register_wav2vec2)
+                                            try_register_wav2vec2,
+                                            try_register_wav2vec2_native)
     from metatts_tpu.preprocess.audio_io import load_wav
     try_register_mosnet()
     try_register_mbnet()
@@ -215,6 +222,9 @@ def mos_rows(real_dir, result_dir, step, max_per_speaker,
     # likewise the JAX-native MBNet mean net (tools/convert_torch_weights.py
     # mbnet) claims the "mbnet" slot when converted weights are dropped
     try_register_mbnet_native(mbnet_weights)
+    # and the JAX-native wav2vec2 SSL scorer (tools/convert_torch_weights.py
+    # wav2vec2) claims the "wav2vec2" slot over the transformers hook
+    try_register_wav2vec2_native(wav2vec2_weights)
     rows = []
     bands = {}         # label -> scorer -> (mean, ci)  [real/recon]
     step_scores = {}   # scorer -> [(ft_step, mean, ci)]
@@ -300,6 +310,17 @@ def run_matrix(args):
             mode_fts = mode_cfg.get("ft_step_list", ft_steps)
         else:
             result_dir, mode_fts = mode_cfg, ft_steps
+        # task -> speaker regrouping via the mode's persisted frozen episode
+        # descriptions (same auto-derivation as the single-result path:
+        # .../result/... -> .../log/.../test_descriptions.json) — the
+        # reference pools d-vectors per SPEAKER, and without regrouping the
+        # per-task groups can't form same-speaker pairs across tasks
+        import json as _json
+        dpath = os.path.join(
+            result_dir.replace(os.sep + "result" + os.sep,
+                               os.sep + "log" + os.sep),
+            "test_descriptions.json")
+        descs = _json.load(open(dpath)) if os.path.exists(dpath) else None
         for step in cfg.get("step_list", ["step_last"]):
             for kind in ("recon", "synth"):
                 for ft in (mode_fts if kind == "synth" else [None]):
@@ -307,6 +328,8 @@ def run_matrix(args):
                                                  ft_step=ft)
                     if not groups:
                         continue
+                    if descs:
+                        groups = h.regroup_by_speaker(groups, descs)
                     label = f"{mode}_{kind}_{step}" + (
                         f"_FTstep{ft}" if ft is not None else "")
                     r = speaker_verification_eer(*pair_similarity(groups))
@@ -353,7 +376,9 @@ def run_matrix(args):
         bar_summary = {}
         rows += mos_rows(cfg["real_dir"], None, None,
                          cfg.get("n_sample", 16), args.mosnet_weights,
-                         args.mbnet_weights, summary=bar_summary)
+                         args.mbnet_weights,
+                         getattr(args, "wav2vec2_weights", None),
+                         summary=bar_summary)
         for mode, mode_cfg in cfg.get("modes", {}).items():
             result_dir = (mode_cfg["dir"] if isinstance(mode_cfg, dict)
                           else mode_cfg)
@@ -363,6 +388,7 @@ def run_matrix(args):
                                      cfg.get("n_sample", 16),
                                      args.mosnet_weights,
                                      args.mbnet_weights,
+                                     getattr(args, "wav2vec2_weights", None),
                                      out_dir=os.path.join(out_dir, mode),
                                      summary=mode_summary)
                 rows += [(f"{mode}_{step}_{lbl}", v) for lbl, v in mode_rows]

@@ -162,6 +162,28 @@ def try_register_mbnet_native(weights_path=None):
     return True
 
 
+def try_register_wav2vec2_native(weights_path=None):
+    """Register the JAX-native wav2vec2 scorer (evaluation/wav2vec2.py) when
+    converted official weights are present — the file-drop path for the
+    ``facebook/wav2vec2-base`` checkpoint the reference's SSL scorer family
+    builds on (``compute_mos.py:205,320``; convert with
+    ``tools/convert_torch_weights.py wav2vec2``).  Takes priority over the
+    transformers hook under the same scorer name.  With a converted MOS
+    regression head the score is calibrated; otherwise the embedding-norm
+    proxy applies and stays labeled uncalibrated."""
+    weights_path = weights_path or os.environ.get("METATTS_WAV2VEC2_WEIGHTS")
+    if not weights_path or not os.path.exists(weights_path):
+        return False
+    from .wav2vec2 import Wav2Vec2Scorer
+    model = Wav2Vec2Scorer(weights_path)
+
+    @register_scorer("wav2vec2")
+    def _w2v2_native(wav, sr):
+        return model.score(wav, sr)
+
+    return True
+
+
 def try_register_wav2vec2():
     """Register the wav2vec2-based quality score (reference
     ``evaluation/txt/LibriTTS/wav2vec2.txt`` rows) when transformers can

@@ -1,0 +1,205 @@
+"""JAX-native wav2vec2 encoder + MOS regression head.
+
+The reference's evaluation scores synthesized audio with a wav2vec2-based
+pseudo-MOS predictor alongside MOSNet and MBNet
+(``/root/reference/evaluation/compute_mos.py:205,320``; published rows in
+``evaluation/txt/LibriTTS/wav2vec2.txt``).  The predictor family (s3prl /
+MOS-finetuned SSL) is: frozen or finetuned **wav2vec2-base** features,
+mean-pooled, through a small regression head.  This module is a functional
+JAX implementation of the wav2vec2-base architecture (conv feature encoder
++ transformer encoder, post-layer-norm variant) plus an optional linear
+regression head, consuming weights converted from the official HuggingFace
+checkpoint layout with ``tools/convert_torch_weights.py convert_wav2vec2_pt``
+(cross-validated output-equivalent against a torch/transformers build in
+``tests/test_wav2vec2.py``).  tera and cpc — the reference's other two SSL
+scorer choices — are out of scope by design: the reference's own txt tables
+lead with wav2vec2, and the scorer registry keeps the names free.
+
+Architecture (facebook/wav2vec2-base, ``transformers`` layout):
+
+  raw wav (B, S) 16 kHz
+  -> feature encoder: 7 temporal convs, dims 512, kernels (10,3,3,3,3,2,2),
+     strides (5,2,2,2,2,2,2), no bias; layer 0 followed by GroupNorm(512)
+     (num_groups == channels -> per-channel norm over time); GELU each
+  -> feature projection: LayerNorm(512) -> Linear(512->768)
+  -> + positional conv embedding (grouped Conv1d k=128 g=16, weight-normed,
+     SAME-ish pad 64 with one trailing frame trimmed for even kernels, GELU)
+  -> LayerNorm -> 12 post-LN transformer layers (12 heads, FFN 3072, GELU)
+  -> mean-pool over time -> head Linear(768->1) = utterance score
+
+Without head weights in the npz the embedding norm proxy (same formula as
+the transformers-hook fallback in ``mos.py``) is used and the scorer stays
+marked uncalibrated.
+"""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+SR = 16000
+
+
+def _layer_norm(x, p, eps=1e-5):
+    m = x.mean(-1, keepdims=True)
+    v = ((x - m) ** 2).mean(-1, keepdims=True)
+    return (x - m) / jnp.sqrt(v + eps) * p["scale"] + p["bias"]
+
+
+def _group_norm_per_channel(x, p, eps=1e-5):
+    """GroupNorm with num_groups == num_channels: normalize each channel
+    over the time axis.  x: (B, T, C)."""
+    m = x.mean(1, keepdims=True)
+    v = ((x - m) ** 2).mean(1, keepdims=True)
+    return (x - m) / jnp.sqrt(v + eps) * p["scale"] + p["bias"]
+
+
+def feature_encoder(params, wav, cfg):
+    """wav (B, S) -> (B, T, conv_dim[-1])."""
+    x = wav[:, :, None]
+    for i, c in enumerate(params["conv_layers"]):
+        x = lax.conv_general_dilated(
+            x, c["kernel"], window_strides=(cfg["conv_stride"][i],),
+            padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"))
+        if "bias" in c:
+            x = x + c["bias"]
+        if i == 0 and "gn" in c:
+            x = _group_norm_per_channel(x, c["gn"])
+        x = jax.nn.gelu(x, approximate=False)
+    return x
+
+
+def _pos_conv(params, x, cfg):
+    """Grouped weight-normed positional conv (kernel already folded by the
+    converter).  x: (B, T, H)."""
+    k = cfg["num_conv_pos_embeddings"]
+    pad = k // 2
+    y = lax.conv_general_dilated(
+        x, params["kernel"], window_strides=(1,),
+        padding=((pad, pad),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=cfg["num_conv_pos_embedding_groups"])
+    y = y + params["bias"]
+    if k % 2 == 0:
+        y = y[:, :-1]                       # torch SamePadLayer: trim 1
+    return jax.nn.gelu(y, approximate=False)
+
+
+def _attention(p, x, n_heads):
+    B, T, H = x.shape
+    d = H // n_heads
+
+    def split(h):
+        return h.reshape(B, T, n_heads, d).transpose(0, 2, 1, 3)
+
+    q = split(x @ p["q"]["kernel"] + p["q"]["bias"]) * (d ** -0.5)
+    k = split(x @ p["k"]["kernel"] + p["k"]["bias"])
+    v = split(x @ p["v"]["kernel"] + p["v"]["bias"])
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    att = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, H)
+    return out @ p["out"]["kernel"] + p["out"]["bias"]
+
+
+def encode(params, wav):
+    """Full wav2vec2 forward: wav (B, S) -> last hidden states (B, T, H)."""
+    cfg = params["config"]
+    x = feature_encoder(params, wav, cfg)
+    x = _layer_norm(x, params["fp_ln"])
+    x = x @ params["proj"]["kernel"] + params["proj"]["bias"]
+    x = x + _pos_conv(params["pos_conv"], x, cfg)
+    x = _layer_norm(x, params["enc_ln"])
+    for lp in params["layers"]:
+        a = _attention(lp["attn"], x, cfg["num_attention_heads"])
+        x = _layer_norm(x + a, lp["ln"])
+        f = x @ lp["ff_in"]["kernel"] + lp["ff_in"]["bias"]
+        f = jax.nn.gelu(f, approximate=False)
+        f = f @ lp["ff_out"]["kernel"] + lp["ff_out"]["bias"]
+        x = _layer_norm(x + f, lp["final_ln"])
+    return x
+
+
+def load_params(npz_path):
+    """Load weights converted by ``convert_wav2vec2_pt`` (config JSON is
+    embedded as an npz entry)."""
+    z = np.load(npz_path)
+    cfg = json.loads(str(z["config"]))
+    p = {"config": cfg, "conv_layers": [], "layers": []}
+    for i in range(len(cfg["conv_stride"])):
+        c = {"kernel": jnp.asarray(z[f"conv{i}.kernel"])}
+        if f"conv{i}.bias" in z:
+            c["bias"] = jnp.asarray(z[f"conv{i}.bias"])
+        if i == 0 and "conv0.gn.scale" in z:
+            c["gn"] = {"scale": jnp.asarray(z["conv0.gn.scale"]),
+                       "bias": jnp.asarray(z["conv0.gn.bias"])}
+        p["conv_layers"].append(c)
+    for name, key in (("fp_ln", "fp_ln"), ("enc_ln", "enc_ln")):
+        p[name] = {"scale": jnp.asarray(z[f"{key}.scale"]),
+                   "bias": jnp.asarray(z[f"{key}.bias"])}
+    p["proj"] = {"kernel": jnp.asarray(z["proj.kernel"]),
+                 "bias": jnp.asarray(z["proj.bias"])}
+    p["pos_conv"] = {"kernel": jnp.asarray(z["pos_conv.kernel"]),
+                     "bias": jnp.asarray(z["pos_conv.bias"])}
+    for i in range(cfg["num_hidden_layers"]):
+        lp = {"attn": {}}
+        for nm in ("q", "k", "v", "out"):
+            lp["attn"][nm] = {
+                "kernel": jnp.asarray(z[f"layer{i}.attn.{nm}.kernel"]),
+                "bias": jnp.asarray(z[f"layer{i}.attn.{nm}.bias"])}
+        for nm in ("ln", "final_ln"):
+            lp[nm] = {"scale": jnp.asarray(z[f"layer{i}.{nm}.scale"]),
+                      "bias": jnp.asarray(z[f"layer{i}.{nm}.bias"])}
+        for nm in ("ff_in", "ff_out"):
+            lp[nm] = {"kernel": jnp.asarray(z[f"layer{i}.{nm}.kernel"]),
+                      "bias": jnp.asarray(z[f"layer{i}.{nm}.bias"])}
+        p["layers"].append(lp)
+    if "head.kernel" in z:
+        p["head"] = {"kernel": jnp.asarray(z["head.kernel"]),
+                     "bias": jnp.asarray(z["head.bias"])}
+    return p
+
+
+def utterance_score(params, wav):
+    """Mean-pooled hidden states -> regression head (or the documented
+    norm proxy when no head was converted)."""
+    h = encode(params, wav)
+    pooled = h.mean(axis=1)                      # (B, H)
+    if "head" in params:
+        return (pooled @ params["head"]["kernel"]
+                + params["head"]["bias"])[..., 0]
+    # proxy (same formula as the transformers-hook fallback in mos.py):
+    # embedding-norm squashed into [1, 5]; labeled uncalibrated upstream
+    norm = jnp.linalg.norm(h, axis=-1).mean(axis=-1)
+    return 1.0 + 4.0 * jax.nn.sigmoid(norm - 5.0)
+
+
+class Wav2Vec2Scorer:
+    """Jitted utterance scorer over converted official weights."""
+
+    def __init__(self, npz_path):
+        self.params = load_params(npz_path)
+        self.calibrated = "head" in self.params
+        # config holds Python ints (conv strides etc.) that must stay
+        # STATIC under jit — close over it rather than tracing it (traced
+        # ints turn window_strides into unhashable tracers)
+        cfg = self.params["config"]
+        self._weights = {k: v for k, v in self.params.items()
+                         if k != "config"}
+        self._fwd = jax.jit(
+            lambda p, wav: utterance_score(dict(p, config=cfg), wav))
+
+    def score(self, wav, sr):
+        from ..preprocess.audio_io import resample
+        wav = np.asarray(wav, np.float32)
+        if sr != SR:
+            wav = resample(wav, sr, SR)
+        # zero-mean / unit-var per utterance (HF Wav2Vec2FeatureExtractor
+        # do_normalize=True convention)
+        wav = (wav - wav.mean()) / (wav.std() + 1e-7)
+        min_len = int(np.prod(self.params["config"]["conv_stride"])) * 4
+        if len(wav) < min_len:
+            wav = np.pad(wav, (0, min_len - len(wav)))
+        return float(self._fwd(self._weights, jnp.asarray(wav[None]))[0])

@@ -16,6 +16,7 @@ Usage:
   python tools/convert_torch_weights.py fastspeech2 meta.ckpt out/fs2.npz
   python tools/convert_torch_weights.py mosnet cnn_blstm.h5 out/mosnet.npz
   python tools/convert_torch_weights.py mbnet model-50000.pt out/mbnet.npz
+  python tools/convert_torch_weights.py wav2vec2 <hf_model_dir> out/w2v2.npz
 """
 
 import sys
@@ -205,6 +206,117 @@ def convert_mbnet_pt(src, dst):
     print(f"wrote {dst}: {len(out)} arrays")
 
 
+def convert_wav2vec2_pt(src, dst, config_json=None):
+    """HuggingFace ``Wav2Vec2Model`` checkpoint (the ``facebook/wav2vec2-base``
+    layout the reference's SSL pseudo-MOS scorer family builds on —
+    reference ``evaluation/compute_mos.py:205,320``) -> npz for
+    ``metatts_tpu/evaluation/wav2vec2.py``.
+
+    ``src`` is either a transformers model directory (``config.json`` +
+    ``pytorch_model.bin``) or a bare state-dict file; ``config_json`` may
+    point at the config explicitly, else wav2vec2-base constants apply.
+    A ``wav2vec2.`` key prefix (ForCTC/ForSequenceClassification wrappers)
+    is stripped; an optional MOS regression head is exported when a
+    ``head.weight`` / ``projector+classifier``-style 2-dim leaf maps the
+    hidden size to 1 (finetuned SSL-MOS checkpoints).  Linear kernels are
+    transposed to (in, out); conv kernels to WIO; the weight-normed
+    positional conv is folded."""
+    import json as _json
+    import os as _os
+
+    cfg_path = config_json
+    if _os.path.isdir(src):
+        cfg_path = cfg_path or _os.path.join(src, "config.json")
+        for cand in ("pytorch_model.bin", "model.pt", "model.safetensors"):
+            p = _os.path.join(src, cand)
+            if _os.path.exists(p):
+                src = p
+                break
+    if src.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        sd = load_file(src)
+    else:
+        sd = _load_torch(src)
+    # strip wrapper prefix
+    if any(k.startswith("wav2vec2.") for k in sd):
+        sd = {k[len("wav2vec2."):] if k.startswith("wav2vec2.") else k: v
+              for k, v in sd.items()}
+
+    defaults = dict(conv_stride=[5, 2, 2, 2, 2, 2, 2],
+                    num_conv_pos_embeddings=128,
+                    num_conv_pos_embedding_groups=16,
+                    num_attention_heads=12, num_hidden_layers=12)
+    cfg = dict(defaults)
+    if cfg_path and _os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            loaded = _json.load(f)
+        cfg.update({k: loaded[k] for k in defaults if k in loaded})
+
+    out = {"config": np.asarray(_json.dumps(cfg))}
+    fe = "feature_extractor.conv_layers"
+    for i in range(len(cfg["conv_stride"])):
+        w = sd[f"{fe}.{i}.conv.weight"]            # (out, in, k)
+        out[f"conv{i}.kernel"] = w.transpose(2, 1, 0)          # -> WIO
+        if f"{fe}.{i}.conv.bias" in sd:
+            out[f"conv{i}.bias"] = sd[f"{fe}.{i}.conv.bias"]
+        if i == 0 and f"{fe}.0.layer_norm.weight" in sd:       # GroupNorm
+            out["conv0.gn.scale"] = sd[f"{fe}.0.layer_norm.weight"]
+            out["conv0.gn.bias"] = sd[f"{fe}.0.layer_norm.bias"]
+    out["fp_ln.scale"] = sd["feature_projection.layer_norm.weight"]
+    out["fp_ln.bias"] = sd["feature_projection.layer_norm.bias"]
+    out["proj.kernel"] = sd["feature_projection.projection.weight"].T
+    out["proj.bias"] = sd["feature_projection.projection.bias"]
+    # the positional conv is weight-normed with dim=2 (torch weight_norm
+    # over the KERNEL axis, unlike the dim=0 vocoder convs): fold with the
+    # norm over dims (0, 1).  Legacy checkpoints store weight_g/weight_v;
+    # newer torch stores parametrizations.weight.original{0,1}.
+    pc = "encoder.pos_conv_embed.conv"
+    if f"{pc}.weight_g" in sd:
+        g, v = sd[f"{pc}.weight_g"], sd[f"{pc}.weight_v"]
+    elif f"{pc}.parametrizations.weight.original0" in sd:
+        g = sd[f"{pc}.parametrizations.weight.original0"]
+        v = sd[f"{pc}.parametrizations.weight.original1"]
+    else:
+        g, v = None, sd[f"{pc}.weight"]
+    if g is None:
+        pos = v
+    else:
+        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+        pos = g * v / np.maximum(norm, 1e-12)
+    out["pos_conv.kernel"] = pos.transpose(2, 1, 0)            # -> WIO
+    out["pos_conv.bias"] = sd["encoder.pos_conv_embed.conv.bias"]
+    out["enc_ln.scale"] = sd["encoder.layer_norm.weight"]
+    out["enc_ln.bias"] = sd["encoder.layer_norm.bias"]
+    for i in range(cfg["num_hidden_layers"]):
+        L = f"encoder.layers.{i}"
+        for nm, t in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                      ("out", "out_proj")):
+            out[f"layer{i}.attn.{nm}.kernel"] = sd[
+                f"{L}.attention.{t}.weight"].T
+            out[f"layer{i}.attn.{nm}.bias"] = sd[f"{L}.attention.{t}.bias"]
+        out[f"layer{i}.ln.scale"] = sd[f"{L}.layer_norm.weight"]
+        out[f"layer{i}.ln.bias"] = sd[f"{L}.layer_norm.bias"]
+        out[f"layer{i}.ff_in.kernel"] = sd[
+            f"{L}.feed_forward.intermediate_dense.weight"].T
+        out[f"layer{i}.ff_in.bias"] = sd[
+            f"{L}.feed_forward.intermediate_dense.bias"]
+        out[f"layer{i}.ff_out.kernel"] = sd[
+            f"{L}.feed_forward.output_dense.weight"].T
+        out[f"layer{i}.ff_out.bias"] = sd[
+            f"{L}.feed_forward.output_dense.bias"]
+        out[f"layer{i}.final_ln.scale"] = sd[f"{L}.final_layer_norm.weight"]
+        out[f"layer{i}.final_ln.bias"] = sd[f"{L}.final_layer_norm.bias"]
+    # optional utterance-MOS regression head (finetuned SSL-MOS layouts)
+    for hk in ("head.weight", "classifier.weight", "regression.weight"):
+        if hk in sd and sd[hk].ndim == 2 and sd[hk].shape[0] == 1:
+            out["head.kernel"] = sd[hk].T
+            out["head.bias"] = sd[hk[:-len(".weight")] + ".bias"]
+            break
+    np.savez(dst, **out)
+    print(f"wrote {dst}: {len(out)} arrays "
+          f"({'with' if 'head.kernel' in out else 'no'} regression head)")
+
+
 def convert_fastspeech2(src, dst):
     """Reference Lightning checkpoint -> npz of raw arrays; mapping into our
     pytree happens at load via tools/load_reference_fs2.py naming rules."""
@@ -219,5 +331,5 @@ if __name__ == "__main__":
     kind, src, dst = sys.argv[1:]
     {"ge2e": convert_ge2e, "melgan": convert_melgan,
      "hifigan": convert_hifigan, "mosnet": convert_mosnet_h5,
-     "mbnet": convert_mbnet_pt,
+     "mbnet": convert_mbnet_pt, "wav2vec2": convert_wav2vec2_pt,
      "fastspeech2": convert_fastspeech2}[kind](src, dst)

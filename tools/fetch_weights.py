@@ -16,7 +16,8 @@ config/CLI lines are then a pure file drop:
     model.vocoder.weights_npz: weights/melgan.npz
     evaluate.py --dvector-weights weights/ge2e.npz \
                 --mosnet-weights weights/mosnet.npz \
-                --mbnet-weights weights/mbnet.npz
+                --mbnet-weights weights/mbnet.npz \
+                --wav2vec2-weights weights/wav2vec2.npz
 
 URLs point at the official hosts; they are recorded here as documentation
 and cannot be verified from this image — check the upstream repos if one
@@ -60,6 +61,16 @@ SOURCES = {
         "https://github.com/sky1456723/Pytorch-MBNet/raw/main/pre_trained/"
         "model-50000.pt",
         "mbnet_model-50000.pt", "mbnet", None),
+    # reference evaluation/compute_mos.py:205,320: the SSL pseudo-MOS
+    # family builds on facebook/wav2vec2-base (HF hosting; the converter
+    # also ingests a dir from transformers save_pretrained or an SSL-MOS
+    # finetune whose state dict carries a (1, H) regression head).
+    "wav2vec2": (
+        "https://huggingface.co/facebook/wav2vec2-base/resolve/main/"
+        "pytorch_model.bin",
+        "wav2vec2_base.bin", "wav2vec2",
+        "also fetch config.json next to it, or pass the model dir; "
+        "fallback: transformers save_pretrained('facebook/wav2vec2-base')"),
     # utils/model.py:38 HiFi-GAN option: jik876/hifi-gan generator v1 is
     # Google-Drive hosted (no stable direct URL) — manual download.
     "hifigan": (
