@@ -13,6 +13,21 @@
 //   5. median-smooth and kill isolated voiced frames.
 //
 // Exported C ABI: dio_stonemask(...) -> 0 on success.
+//
+// Measured accuracy envelope (tests/test_f0_envelope.py, synthetic
+// additive-harmonic voices at 22.05 kHz, hop 256; this is a DIO-*style*
+// original, not a pyworld port — real-corpus divergence from pyworld is
+// unestablished until a golden fixture drops, see the test file's hook):
+//   vibrato 180 Hz +-3% @6 Hz . median < 35 cents, voiced recall > 0.9
+//   2% jitter + 10% shimmer .. median < 60 cents, octave jumps < 5%
+//   white noise 20/10/5 dB ... median < 30/40/60 cents,
+//                              recall > 0.9/0.8/0.6
+//   75 Hz, dominant 2nd harm . >70% of frames within 100 cents of the
+//                              true fundamental (octave-doubling guard in
+//                              refine_f0; 70 Hz itself is below the
+//                              pyworld-matching 71 Hz default floor)
+//   voicing boundaries ....... localized within ~4 frames; >85% voicing
+//                              agreement with the numpy YIN cross-check
 
 #include <cmath>
 #include <cstring>
@@ -123,14 +138,14 @@ static void interval_f0(const Events& ev, const std::vector<double>& centers,
   }
 }
 
-// normalized autocorrelation refinement around lag fs/f0
-static double refine_f0(const double* x, int n, double fs, double center_s,
-                        double f0) {
-  int lag0 = (int)std::lround(fs / f0);
+// scan 5 lags around lag0 with a +-2-period window; returns true and fills
+// (best normalized correlation, parabolic-refined lag) when in bounds
+static bool corr_scan(const double* x, int n, double fs, double center_s,
+                      int lag0, double* best_r_out, double* lag_ref_out) {
   int win = 2 * lag0;  // two periods each side
   int c = (int)std::lround(center_s * fs);
   int lo = c - win, hi = c + win;
-  if (lo < 0 || hi + lag0 + 2 >= n || lag0 < 4) return f0;
+  if (lo < 0 || hi + lag0 + 4 >= n || lag0 < 4) return false;
   double best_r = -2.0;
   int best_lag = lag0;
   double rs[5];
@@ -154,6 +169,31 @@ static double refine_f0(const double* x, int n, double fs, double center_s,
     if (std::abs(denom) > 1e-12) {
       double off = 0.5 * (a - cc) / denom;
       if (off > -1 && off < 1) lag_ref = best_lag + off;
+    }
+  }
+  *best_r_out = best_r;
+  *lag_ref_out = lag_ref;
+  return true;
+}
+
+// normalized autocorrelation refinement around lag fs/f0, with an
+// octave-doubling guard: when a dominant 2nd harmonic drags the interval
+// candidates to 2*f0_true, the true period 2*lag scores ~1.0 while the
+// halved period scores the harmonic mixture (<1); a genuinely correct lag
+// scores ~equally at lag and 2*lag, so a margin keeps it.  (StoneMask-role
+// octave correction.)
+static double refine_f0(const double* x, int n, double fs, double center_s,
+                        double f0, double f0_floor) {
+  int lag0 = (int)std::lround(fs / f0);
+  double best_r, lag_ref;
+  if (!corr_scan(x, n, fs, center_s, lag0, &best_r, &lag_ref)) return f0;
+  int lag2 = 2 * lag0;
+  if (fs / lag2 >= f0_floor) {
+    double r2, l2;
+    if (corr_scan(x, n, fs, center_s, lag2, &r2, &l2) &&
+        r2 > best_r + 0.08) {
+      best_r = r2;
+      lag_ref = l2;
     }
   }
   if (best_r < 0.35) return 0.0;  // unvoiced
@@ -212,7 +252,7 @@ extern "C" int dio_stonemask(const double* x, int n, int fs,
   for (int i = 0; i < n_frames; ++i) {
     double f = best_f0[i];
     if (f <= 0 || best_dev[i] > 0.2) { out[i] = 0.0; continue; }
-    out[i] = refine_f0(x, n, (double)fs, centers[i], f);
+    out[i] = refine_f0(x, n, (double)fs, centers[i], f, f0_floor);
     if (out[i] < f0_floor || out[i] > f0_ceil) out[i] = 0.0;
   }
 
