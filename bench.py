@@ -131,12 +131,15 @@ def main():
     def chained_window(n=10):
         # block_until_ready alone does not serialize through the tunnel,
         # and the first window absorbs hidden compile time — so chain a
-        # data dependency and discard the first window
+        # data dependency and discard the first window.  The dependency
+        # must CHANGE the value: +mean*1e-30 underflows in fp32 to
+        # bit-identical inputs, which the tunnel can serve without
+        # re-executing.
         b = qry1
         t0 = time.time()
-        for _ in range(n):
+        for i in range(n):
             out = synth_b(params, b)
-            eps = out.postnet_mel.mean() * 1e-30
+            eps = out.postnet_mel.mean() * 1e-9 + (i + 1) * 1e-6
             b = b._replace(p_targets=b.p_targets + eps)
         float(np.asarray(out.postnet_mel.mean()))    # hard host sync
         return (time.time() - t0) / n * 1e3
@@ -181,6 +184,57 @@ def main():
     jax.block_until_ready(al.total)
     acc_dt = time.time() - t0
 
+    # SPMD test stage (the reference distributes test episodes one-per-GPU
+    # under DDP, base_adaptor.py:151): per-task wall for the full 100-step
+    # snapshot trajectory, sequential System.test_adapt vs 8-wide vmapped
+    # System.test_adapt_batched on this one chip.  Sync rules per
+    # tools/probe_test_stage.py: block on the last loss AND a snapshot leaf,
+    # and chain a zero-scale data dependency between reps (tunnel).
+    def timed_test(fn, sup_in, reps):
+        # sync by FETCHING values (block_until_ready alone has
+        # under-reported here), and chain a dependency whose scale
+        # survives fp32 addition — +loss*1e-30 underflows to bit-identical
+        # inputs, which the tunnel can serve without re-executing
+        per_rep = []
+        for r in range(reps):
+            t0 = time.time()
+            rows_t, snaps_t = fn(sup_in)
+            last_loss = rows_t[-1][1].total
+            float(np.asarray(jnp.asarray(last_loss).sum()))
+            float(np.asarray(jtree.leaves(snaps_t[-1][1])[0].sum()))
+            per_rep.append(time.time() - t0)
+            eps = jnp.asarray(last_loss).mean() * 1e-9 + (r + 1) * 1e-6
+            sup_in = sup_in._replace(mels=sup_in.mels + eps)
+        return per_rep
+
+    import jax.numpy as jnp
+    test_compile_s = timed_test(
+        lambda s: system.test_adapt(s, qry1), sup1, reps=1)[0]
+    seq_task_s = float(np.mean(timed_test(
+        lambda s: system.test_adapt(s, qry1), sup1, reps=3)))
+    EB = 8
+    supE = jtree.map(lambda x: jnp.broadcast_to(x[None], (EB,) + x.shape),
+                     sup1)
+    qryE = jtree.map(lambda x: jnp.broadcast_to(x[None], (EB,) + x.shape),
+                     qry1)
+    test_compile_s += timed_test(
+        lambda s: system.test_adapt_batched(s, qryE), supE, reps=1)[0]
+    bat_wall_s = float(np.mean(timed_test(
+        lambda s: system.test_adapt_batched(s, qryE), supE, reps=3)))
+    # snapshot residency the auto policy actually engaged (byte math of
+    # System._snapshot_keep; n_snapshots = len(saving_steps)+1)
+    import os as _os
+    param_bytes = sum(x.size * x.dtype.itemsize
+                      for x in jax.tree.leaves(system.params))
+    n_snap = len(acfg["adapt"]["test"]["saving_steps"]) + 1
+    budget = float(_os.environ.get("METATTS_SNAPSHOT_HBM_BUDGET", 4e9))
+    snap_mode = acfg["adapt"]["test"].get("snapshot_offload", "auto")
+    if snap_mode == "auto":
+        snap_mode = {
+            "seq": "device" if n_snap * param_bytes <= budget else "host",
+            "batched8": ("device" if n_snap * EB * param_bytes <= budget
+                         else "host")}
+
     # XLA's own FLOP count for the compiled meta step — hardens the analytic
     # baseline (BASELINE.md documents the hand derivation; this is the
     # compiler's number for the same program)
@@ -218,6 +272,14 @@ def main():
         # grad_acc_step 8 on one chip; README.md:73-77 arithmetic)
         "gradacc8_effective_step_ms": round(acc_dt * 1e3, 2),
         "gradacc8_frames_per_sec": round(frames_per_step * 8 / acc_dt, 1),
+        # SPMD test stage: tasks/s for the full 100-step snapshot
+        # trajectory, sequential vs 8-wide vmapped (VERDICT r3 #3)
+        "test_stage_tasks_per_sec_seq": round(1.0 / seq_task_s, 3),
+        "test_stage_tasks_per_sec_batched8": round(EB / bat_wall_s, 3),
+        "test_stage_speedup_batched8": round(seq_task_s * EB / bat_wall_s,
+                                             2),
+        "test_stage_snapshot_offload": snap_mode,
+        "test_stage_compile_s": round(test_compile_s, 1),
     }))
 
 
