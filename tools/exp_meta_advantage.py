@@ -22,6 +22,17 @@ loss-space analogue end to end inside this framework:
 Run:  METATTS_PLATFORM=cpu python tools/exp_meta_advantage.py
       (writes examples/meta_advantage/{results.json,curves.png})
 
+Calibration lesson (ROUND4.md §1): the few-shot advantage lives in the
+reference's lr regime.  At inner/test lr 0.001 (the reference's adapt lr,
+``/root/reference/config/algorithm/*.yaml``) meta wins decisively at steps
+5-20 and the baseline overtakes by step 50-100 — the reference's own curve
+shape.  At 10x that lr the result INVERTS: the destructive inner loop
+plateaus the MAML objective while the hot test adaptation lets the ERM
+baseline absorb the speaker latents in <10 steps.  Meta-training also
+passes through a transient "adaptable-but-bad-init" phase (the plain-loss
+probe inflates while post-adaptation query loss falls) before converging —
+expected, not a divergence.
+
 ``run_experiment`` is importable — ``tests/test_meta_advantage.py`` runs a
 reduced configuration and asserts the ordering so the capability cannot
 silently regress.
@@ -77,7 +88,8 @@ def run_experiment(outer_steps=400, n_train=32, n_test=8, n_mels=8,
                    inner_lr=0.001, test_lr=0.001,
                    saving_steps=(5, 10, 20, 50, 100),
                    episodes_per_speaker=2, eval_queries=8, seed=0,
-                   hidden=32, layers=1, log_every=50, verbose=True):
+                   hidden=32, layers=1, log_every=50, verbose=True,
+                   flat_lr=None, corpus_kwargs=None):
     """Train meta + baseline on the synthetic corpus, evaluate the shared
     test stage on held-out speakers.  Returns a results dict with per-system
     ``{ft_step: [per-task total losses]}`` plus training traces."""
@@ -85,7 +97,8 @@ def run_experiment(outer_steps=400, n_train=32, n_test=8, n_mels=8,
     from metatts_tpu.algorithms.baseline import BaselineSystem
     from metatts_tpu.data.synthetic import SyntheticVoices, STATS
 
-    corpus = SyntheticVoices(n_train + n_test, n_mels=n_mels, seed=seed)
+    corpus = SyntheticVoices(n_train + n_test, n_mels=n_mels, seed=seed,
+                             **(corpus_kwargs or {}))
     train_speakers = list(range(n_train))
     test_speakers = list(range(n_train, n_train + n_test))
 
@@ -103,6 +116,25 @@ def run_experiment(outer_steps=400, n_train=32, n_test=8, n_mels=8,
     base = BaselineSystem(pcfg, copy.deepcopy(mcfg), tcfg, acfg_base,
                           stats=STATS, n_speakers=n_train + n_test,
                           seed=seed + 7)
+
+    if flat_lr is not None:
+        # reference-scale outer lr: at dev scale (d_model 32, warm_up 200)
+        # the Noam peak is 0.0125 — 12.5x the reference's effective peak
+        # (d_model 256, warm_up 4000 -> ~1e-3).  That is fine for the ERM
+        # baseline but destabilizes second-order MAML gradients (observed:
+        # post-adaptation query loss oscillates and plateaus ~14 while the
+        # plain init loss inflates).  flat_lr swaps Noam for a 100-step
+        # linear warmup into a constant lr — IDENTICAL for both systems.
+        import optax
+        sched = optax.linear_schedule(0.0, flat_lr, 100)
+        for system in (meta, base):
+            o = tcfg["optimizer"]
+            system.tx = optax.chain(
+                optax.clip_by_global_norm(o["grad_clip_thresh"]),
+                optax.scale_by_adam(b1=o["betas"][0], b2=o["betas"][1],
+                                    eps=o["eps"]),
+                optax.scale_by_learning_rate(sched))
+            system.opt_state = system.tx.init(system.params)
 
     data_rng = np.random.RandomState(seed + 1)
     flat_bs = meta_batch * (shots + queries)   # identical utterance budget
@@ -184,6 +216,7 @@ def run_experiment(outer_steps=400, n_train=32, n_test=8, n_mels=8,
                            saving_steps=list(saving_steps),
                            episodes_per_speaker=episodes_per_speaker,
                            eval_queries=eval_queries, seed=seed,
+                           flat_lr=flat_lr,
                            wall_s=round(time.time() - t0, 1))}
 
 
@@ -232,6 +265,11 @@ def main():
     ap.add_argument("--layers", type=int, default=1)
     ap.add_argument("--inner-lr", type=float, default=0.001)
     ap.add_argument("--test-lr", type=float, default=0.001)
+    ap.add_argument("--flat-lr", type=float, default=None,
+                    help="replace Noam with 100-step-warmup constant outer "
+                         "lr (identical for both systems); see the note in "
+                         "run_experiment")
+    ap.add_argument("--meta-batch", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="examples/meta_advantage")
     args = ap.parse_args()
@@ -239,10 +277,14 @@ def main():
     if os.environ.get("METATTS_PLATFORM", "cpu") == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from metatts_tpu.utils.jaxcache import enable_compilation_cache
+        enable_compilation_cache()
 
     out = run_experiment(outer_steps=args.outer_steps, hidden=args.hidden,
                          layers=args.layers, inner_lr=args.inner_lr,
-                         test_lr=args.test_lr, seed=args.seed)
+                         test_lr=args.test_lr, seed=args.seed,
+                         flat_lr=args.flat_lr, meta_batch=args.meta_batch)
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "results.json"), "w") as f:
         json.dump(out, f, indent=1)
