@@ -205,6 +205,11 @@ def main():
             per_rep.append(time.time() - t0)
             eps = jnp.asarray(last_loss).mean() * 1e-9 + (r + 1) * 1e-6
             sup_in = sup_in._replace(mels=sup_in.mels + eps)
+            # free this rep's snapshots BEFORE the next rep: 8-wide
+            # device-resident trajectories are ~6.7 GB; two generations
+            # alive at once OOM the 16 GB chip (production consumes one
+            # set and drops it — Trainer.run_batched)
+            del rows_t, snaps_t, last_loss
         return per_rep
 
     import jax.numpy as jnp
@@ -224,10 +229,12 @@ def main():
     # snapshot residency the auto policy actually engaged (byte math of
     # System._snapshot_keep; n_snapshots = len(saving_steps)+1)
     import os as _os
+    from metatts_tpu.utils.backend import is_tpu
     param_bytes = sum(x.size * x.dtype.itemsize
                       for x in jax.tree.leaves(system.params))
     n_snap = len(acfg["adapt"]["test"]["saving_steps"]) + 1
-    budget = float(_os.environ.get("METATTS_SNAPSHOT_HBM_BUDGET", 4e9))
+    budget = float(_os.environ.get("METATTS_SNAPSHOT_HBM_BUDGET",
+                                   10e9 if is_tpu() else 4e9))
     snap_mode = acfg["adapt"]["test"].get("snapshot_offload", "auto")
     if snap_mode == "auto":
         snap_mode = {

@@ -151,19 +151,28 @@ class System:
 
     def _snapshot_keep(self, n_snapshots, episodes=1):
         """Return the snapshot-materialization fn for the test stage:
-        identity (device-resident) or ``jax.device_get`` (host), per
+        identity (device-resident) or a packed host fetch, per
         ``adapt.test.snapshot_offload`` — see the ``test_adapt`` docstring
-        for the byte math."""
+        for the byte math.  Host offload goes through
+        ``utils.transfer.packed_device_get`` (one transfer per dtype group):
+        per-leaf ``jax.device_get`` costs ~0.7 s PER LEAF through the
+        remote-TPU tunnel (measured — see the transfer module docstring)."""
         import os
+        from ..utils.backend import is_tpu
+        from ..utils.transfer import packed_device_get
         mode = self.acfg["adapt"]["test"].get("snapshot_offload", "auto")
         if mode == "auto":
             param_bytes = sum(x.size * x.dtype.itemsize
                               for x in jax.tree.leaves(self.params))
+            # on a real 16 GB TPU chip snapshots may take most of HBM —
+            # host offload through the tunnel moves ~12 MB/s, so device
+            # residency wins by orders of magnitude (utils/transfer.py)
             budget = float(os.environ.get(
-                "METATTS_SNAPSHOT_HBM_BUDGET", 4e9))
+                "METATTS_SNAPSHOT_HBM_BUDGET",
+                10e9 if is_tpu() else 4e9))
             mode = ("device" if n_snapshots * episodes * param_bytes
                     <= budget else "host")
-        return (lambda p: p) if mode == "device" else jax.device_get
+        return (lambda p: p) if mode == "device" else packed_device_get
 
     def test_adapt(self, sup_batch, qry_batch, ft_steps=None):
         """Test-time long adaptation with snapshot evaluation, SHARED by all
@@ -192,13 +201,15 @@ class System:
         (``Trainer._save_test_audio``) feeds every snapshot straight back
         into a jitted synthesis forward, so host-offloading them costs a
         full device->host->device round trip per snapshot — at base scale
-        ~140 MB fp32 each, ~2 GB per task, which through the remote-TPU
-        tunnel dominates the test stage (measured 22.0 s/task offloaded vs
-        ~1.5 s compute).  "auto" therefore keeps snapshots in HBM while
-        ``n_snapshots x episodes x param_bytes`` fits a budget
-        (``METATTS_SNAPSHOT_HBM_BUDGET``, default 4 GB — a quarter of a
-        16 G v5e chip) and falls back to ``jax.device_get`` beyond it
-        (e.g. 8-wide batched trajectories at base scale).
+        ~140 MB fp32 each, ~2 GB per task.  Through the remote-TPU tunnel
+        that round trip is catastrophic: ~0.7 s PER LEAF unpacked and only
+        ~12-16 MB/s even packed (measured, ``utils/transfer.py``) — an
+        8-wide batched trajectory offloaded leaf-by-leaf ran 25x SLOWER
+        than sequential (BENCH 2026-08-19).  "auto" therefore keeps
+        snapshots in HBM while ``n_snapshots x episodes x param_bytes``
+        fits a budget (``METATTS_SNAPSHOT_HBM_BUDGET``; default 10 GB on a
+        16 GB TPU chip, 4 GB elsewhere) and falls back to the packed host
+        fetch beyond it.
         """
         test_cfg = self.acfg["adapt"]["test"]
         lr = test_cfg["lr"]
@@ -270,7 +281,8 @@ class System:
         sequential run.  Snapshot residency follows the same
         ``adapt.test.snapshot_offload`` policy (see the ``test_adapt``
         docstring) with the episode count multiplying the HBM budget math —
-        E-wide base-scale trajectories usually tip "auto" to host.
+        8-wide base-scale trajectories (6.7 GB of snapshots) still fit the
+        10 GB TPU budget and stay device-resident.
 
         Returns ``(rows, snapshots)`` where every loss field and every
         snapshot leaf carries the leading episode axis.

@@ -70,6 +70,11 @@ def main():
             per_rep.append(time.time() - t0)
             eps = jnp.asarray(last_loss).mean() * 1e-9 + (r + 1) * 1e-6
             sup = sup._replace(mels=sup.mels + eps)
+            # free this rep's snapshots BEFORE the next rep runs: 8-wide
+            # device-resident trajectories are ~6.7 GB, and two generations
+            # alive at once OOM the 16 GB chip (production consumes one
+            # set and drops it — Trainer.run_batched)
+            del rows, snapshots, last_loss
         return per_rep
 
     seq_compile = timed(lambda s: system.test_adapt(s, qry1), sup1,
