@@ -266,6 +266,11 @@ def main():
         # derivation + a measured same-host torch-CPU anchor in BASELINE.md)
         "vs_baseline": round(value / REF_V100_FRAMES_PER_SEC, 3),
         "baseline_kind": "analytic V100 estimate (see BASELINE.md)",
+        # the only MEASURED cross-framework anchor: same-host single-core
+        # CPU, this framework 389.2 s/episode vs the torch reference 644.7
+        # (BASELINE.md "measured anchor") — the graph-level advantage; the
+        # rest of vs_baseline is the TPU-port speedup itself
+        "vs_torch_same_host_cpu_measured": 1.66,
         "step_time_ms": round(dt * 1e3, 2),
         "xla_step_tflops": step_tflops,
         "compile_s": round(compile_s, 1),
