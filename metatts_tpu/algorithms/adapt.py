@@ -49,7 +49,8 @@ def _zero_cotangents(tree):
         else np.zeros(jnp.shape(x), jax.dtypes.float0), tree)
 
 
-def make_hvp_sgd_step(adaptor, lr, train, fast_mcfg, exact_mcfg):
+def make_hvp_sgd_step(adaptor, lr, train, fast_mcfg, exact_mcfg,
+                      hvp_mode="rev"):
     """One inner SGD step ``a' = a - lr * grad_a L(a, frozen)`` with a
     hand-written second-order rule (custom_vjp).
 
@@ -89,12 +90,27 @@ def make_hvp_sgd_step(adaptor, lr, train, fast_mcfg, exact_mcfg):
     def bwd(res, u):
         adapted, frozen, state, sup_batch, rng = res
 
-        def g_dot_u(a_, f_):
-            g = jax.grad(adaptor._support_loss)(
-                a_, f_, state, sup_batch, train, rng, exact_mcfg)
-            return _tree_vdot(g, u)
+        if hvp_mode == "fwd":
+            # forward-over-reverse: one jvp of the FULL gradient in the
+            # tangent direction (u, 0).  By symmetry of mixed partials,
+            # jvp(grad_{a,f} L)(u, 0) = (H_aa u, H_fa u) — the same pair
+            # the reverse rule below computes, without differentiating
+            # through a second reverse sweep (A/B'd on v5e: see ROUND4.md)
+            def full_grad(a_, f_):
+                return jax.grad(adaptor._support_loss, argnums=(0, 1))(
+                    a_, f_, state, sup_batch, train, rng, exact_mcfg)
 
-        h_aa_u, h_fa_u = jax.grad(g_dot_u, argnums=(0, 1))(adapted, frozen)
+            zeros_f = jax.tree.map(jnp.zeros_like, frozen)
+            _, (h_aa_u, h_fa_u) = jax.jvp(
+                full_grad, (adapted, frozen), (u, zeros_f))
+        else:
+            def g_dot_u(a_, f_):
+                g = jax.grad(adaptor._support_loss)(
+                    a_, f_, state, sup_batch, train, rng, exact_mcfg)
+                return _tree_vdot(g, u)
+
+            h_aa_u, h_fa_u = jax.grad(g_dot_u, argnums=(0, 1))(adapted,
+                                                               frozen)
         da = jax.tree.map(lambda ui, hi: ui - lr * hi, u, h_aa_u)
         df = jax.tree.map(lambda hi: -lr * hi, h_fa_u)
         return (da, df, _zero_cotangents(state),
@@ -182,7 +198,8 @@ class Adaptor:
             step_fn = make_hvp_sgd_step(
                 self, lr, train,
                 fast_mcfg={**self.mcfg, "attention_impl": fast_impl},
-                exact_mcfg=exact_mcfg)
+                exact_mcfg=exact_mcfg,
+                hvp_mode=self.mcfg.get("hvp_mode", "rev"))
 
             def step(carry, step_rng):
                 return step_fn(carry, frozen, state, sup_batch,

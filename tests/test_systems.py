@@ -377,3 +377,40 @@ def test_test_adapt_batched_dvec_tuple_args():
     delta = sum(float(np.abs(a - b).sum())
                 for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(pN)))
     assert delta > 0
+
+
+def test_hvp_mode_fwd_matches_rev():
+    """model.hvp_mode selects the custom-HVP backward: "rev"
+    (reverse-over-reverse grad of g.u) or "fwd" (one jvp of the full
+    gradient — mixed-partial symmetry gives the same (H_aa u, H_fa u)).
+    The meta-gradients must agree to fp accumulation order."""
+    from metatts_tpu.algorithms.adapt import Adaptor
+    from metatts_tpu.models.fastspeech2 import fastspeech2_init
+    from helpers import tiny_model_cfg, tiny_preprocess_cfg, STATS
+
+    rng = np.random.RandomState(0)
+    sup = synth_batch(rng, B=2)
+    qry = synth_batch(rng, B=2)
+    grads = {}
+    for mode in ("rev", "fwd"):
+        m = tiny_model_cfg(hvp_mode=mode)
+        acfg = algorithm_cfg("meta")
+        ad = Adaptor(tiny_preprocess_cfg(), m, acfg)
+        params, state = fastspeech2_init(
+            jax.random.PRNGKey(3), tiny_preprocess_cfg(), m, acfg, STATS,
+            n_speakers=4)
+
+        def meta_obj(p):
+            losses, _, _ = ad.meta_learn(
+                p, state, sup, qry, steps=2, lr=0.01, train=True,
+                rng=jax.random.PRNGKey(5))
+            return losses.total
+
+        grads[mode] = jax.grad(meta_obj)(params)
+    r = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(grads["rev"])])
+    f = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(grads["fwd"])])
+    cos = float(r @ f / (np.linalg.norm(r) * np.linalg.norm(f)))
+    assert cos > 0.999999
+    assert float(np.linalg.norm(r - f) / np.linalg.norm(r)) < 1e-4

@@ -89,12 +89,19 @@ def run_experiment(outer_steps=400, n_train=32, n_test=8, n_mels=8,
                    saving_steps=(5, 10, 20, 50, 100),
                    episodes_per_speaker=2, eval_queries=8, seed=0,
                    hidden=32, layers=1, log_every=50, verbose=True,
-                   flat_lr=None, corpus_kwargs=None):
-    """Train meta + baseline on the synthetic corpus, evaluate the shared
-    test stage on held-out speakers.  Returns a results dict with per-system
-    ``{ft_step: [per-task total losses]}`` plus training traces."""
-    from metatts_tpu.algorithms.meta import MetaSystem
-    from metatts_tpu.algorithms.baseline import BaselineSystem
+                   flat_lr=None, corpus_kwargs=None,
+                   algorithms=("meta", "baseline")):
+    """Train the requested systems on the synthetic corpus, evaluate the
+    shared test stage on held-out speakers.  Returns a results dict with
+    per-system ``{ft_step: [per-task total losses]}`` plus training traces.
+
+    ``algorithms`` may include "imaml" as a third arm.  Episodic arms
+    (meta, imaml) consume the SAME support/query draw each outer step —
+    identical episode sequences, so the A/B isolates the meta-gradient
+    estimator (unrolled second-order vs CG implicit); the baseline's flat
+    draws follow from the same shared rng stream, so the default two-arm
+    configuration reproduces the original draw sequence exactly."""
+    from metatts_tpu.algorithms import get_system
     from metatts_tpu.data.synthetic import SyntheticVoices, STATS
 
     corpus = SyntheticVoices(n_train + n_test, n_mels=n_mels, seed=seed,
@@ -102,20 +109,20 @@ def run_experiment(outer_steps=400, n_train=32, n_test=8, n_mels=8,
     train_speakers = list(range(n_train))
     test_speakers = list(range(n_train, n_train + n_test))
 
-    pcfg, mcfg, tcfg, acfg_meta = _configs(
+    pcfg, mcfg, tcfg, acfg = _configs(
         n_mels, inner_steps, inner_lr, test_lr, meta_batch, shots, queries,
         saving_steps, hidden=hidden, layers=layers)
-    acfg_meta["type"] = "meta"
-    acfg_base = copy.deepcopy(acfg_meta)
-    acfg_base["type"] = "baseline"
 
     # identical parameter init (same seed): the A/B isolates the TRAINING
     # algorithm, not the initialization draw
-    meta = MetaSystem(pcfg, mcfg, tcfg, acfg_meta, stats=STATS,
-                      n_speakers=n_train + n_test, seed=seed + 7)
-    base = BaselineSystem(pcfg, copy.deepcopy(mcfg), tcfg, acfg_base,
-                          stats=STATS, n_speakers=n_train + n_test,
-                          seed=seed + 7)
+    systems = {}
+    for name in algorithms:
+        acfg_n = copy.deepcopy(acfg)
+        acfg_n["type"] = name
+        systems[name] = get_system(name)(
+            pcfg, copy.deepcopy(mcfg), tcfg, acfg_n, stats=STATS,
+            n_speakers=n_train + n_test, seed=seed + 7)
+    episodic = [n for n in algorithms if n != "baseline"]
 
     if flat_lr is not None:
         # reference-scale outer lr: at dev scale (d_model 32, warm_up 200)
@@ -127,7 +134,7 @@ def run_experiment(outer_steps=400, n_train=32, n_test=8, n_mels=8,
         # linear warmup into a constant lr — IDENTICAL for both systems.
         import optax
         sched = optax.linear_schedule(0.0, flat_lr, 100)
-        for system in (meta, base):
+        for system in systems.values():
             o = tcfg["optimizer"]
             system.tx = optax.chain(
                 optax.clip_by_global_norm(o["grad_clip_thresh"]),
@@ -138,46 +145,56 @@ def run_experiment(outer_steps=400, n_train=32, n_test=8, n_mels=8,
 
     data_rng = np.random.RandomState(seed + 1)
     flat_bs = meta_batch * (shots + queries)   # identical utterance budget
-    traces = {"meta": [], "baseline": []}
+    traces = {name: [] for name in algorithms}
 
-    # convergence diagnostic: the PLAIN supervised loss of both systems on
-    # one fixed train-speaker probe batch — meta's own trace is
+    # convergence diagnostic: the PLAIN supervised loss of every system on
+    # one fixed train-speaker probe batch — an episodic arm's own trace is
     # post-adaptation query loss, which is not comparable to baseline's
     # train loss, so this is the apples-to-apples "shared structure fit"
     import jax
+    any_sys = next(iter(systems.values()))
     probe_rng = np.random.RandomState(seed + 3)
     probe = corpus.batch(list(probe_rng.choice(train_speakers, size=16)),
                          probe_rng)
 
     @jax.jit
     def plain_loss(params, batch):
-        out, _ = meta.adaptor.forward(params, meta.state, batch, train=False)
-        return meta.adaptor.loss(batch, out).total
+        out, _ = any_sys.adaptor.forward(params, any_sys.state, batch,
+                                         train=False)
+        return any_sys.adaptor.loss(batch, out).total
 
-    traces["meta_plain"] = []
-    traces["baseline_plain"] = []
+    for name in algorithms:
+        traces[f"{name}_plain"] = []
     t0 = time.time()
     for step in range(outer_steps):
-        spk = data_rng.choice(train_speakers, size=meta_batch,
-                              replace=False)
-        sup, qry = corpus.meta_batch(spk, shots, queries, data_rng)
-        m_loss = float(meta.train_step(sup, qry).total)
-
-        flat_spk = data_rng.choice(train_speakers, size=flat_bs)
-        batch = corpus.batch(list(flat_spk), data_rng)
-        b_loss = float(base.train_step(batch).total)
-        traces["meta"].append(m_loss)
-        traces["baseline"].append(b_loss)
+        losses = {}
+        if episodic:
+            # ONE episodic draw per step, shared by all episodic arms —
+            # meta and imaml train on identical episode sequences
+            spk = data_rng.choice(train_speakers, size=meta_batch,
+                                  replace=False)
+            sup, qry = corpus.meta_batch(spk, shots, queries, data_rng)
+            for name in episodic:
+                losses[name] = float(systems[name].train_step(sup,
+                                                              qry).total)
+        if "baseline" in systems:
+            flat_spk = data_rng.choice(train_speakers, size=flat_bs)
+            batch = corpus.batch(list(flat_spk), data_rng)
+            losses["baseline"] = float(
+                systems["baseline"].train_step(batch).total)
+        for name, v in losses.items():
+            traces[name].append(v)
         if step % log_every == 0 or step == outer_steps - 1:
-            mp = float(plain_loss(meta.params, probe))
-            bp = float(plain_loss(base.params, probe))
-            traces["meta_plain"].append([step, mp])
-            traces["baseline_plain"].append([step, bp])
+            plains = {name: float(plain_loss(systems[name].params, probe))
+                      for name in algorithms}
+            for name, v in plains.items():
+                traces[f"{name}_plain"].append([step, v])
             if verbose:
-                print(f"[train] step {step:4d}  meta(query) {m_loss:.4f}  "
-                      f"baseline(train) {b_loss:.4f}  "
-                      f"plain(probe) meta {mp:.4f} base {bp:.4f}  "
-                      f"({time.time() - t0:.0f}s)", flush=True)
+                print(f"[train] step {step:4d}  "
+                      + "  ".join(f"{n} {v:.4f}" for n, v in losses.items())
+                      + "  plain(probe) "
+                      + " ".join(f"{n} {v:.4f}" for n, v in plains.items())
+                      + f"  ({time.time() - t0:.0f}s)", flush=True)
 
     # ---- shared test stage on held-out speakers -------------------------
     # identical frozen eval episodes for both systems
@@ -188,8 +205,8 @@ def run_experiment(outer_steps=400, n_train=32, n_test=8, n_mels=8,
             episodes.append(corpus.episode(s, shots, eval_queries, eval_rng))
 
     results = {name: {int(ft): [] for ft in (0,) + tuple(saving_steps)}
-               for name in ("meta", "baseline")}
-    for name, system in (("meta", meta), ("baseline", base)):
+               for name in algorithms}
+    for name, system in systems.items():
         for i, (sup, qry) in enumerate(episodes):
             rows, _ = system.test_adapt(sup, qry)
             for ft, losses in rows:
@@ -216,7 +233,7 @@ def run_experiment(outer_steps=400, n_train=32, n_test=8, n_mels=8,
                            saving_steps=list(saving_steps),
                            episodes_per_speaker=episodes_per_speaker,
                            eval_queries=eval_queries, seed=seed,
-                           flat_lr=flat_lr,
+                           flat_lr=flat_lr, algorithms=list(algorithms),
                            wall_s=round(time.time() - t0, 1))}
 
 
@@ -226,8 +243,11 @@ def plot(out, outdir):
     import matplotlib.pyplot as plt
 
     fig, axes = plt.subplots(1, 2, figsize=(11, 4))
-    steps = sorted(out["summary"]["meta"])
-    for name, color in (("meta", "tab:blue"), ("baseline", "tab:orange")):
+    colors = {"meta": "tab:blue", "baseline": "tab:orange",
+              "imaml": "tab:green"}
+    names = [(n, colors.get(n, "tab:gray")) for n in out["summary"]]
+    steps = sorted(next(iter(out["summary"].values())))
+    for name, color in names:
         mean = np.array([out["summary"][name][s]["mean"] for s in steps])
         std = np.array([out["summary"][name][s]["std"] for s in steps])
         n = np.array([out["summary"][name][s]["n"] for s in steps])
@@ -239,7 +259,7 @@ def plot(out, outdir):
     axes[0].set_ylabel("query total loss")
     axes[0].set_title("Few-shot adaptation: meta vs baseline init")
     axes[0].legend()
-    for name, color in (("meta", "tab:blue"), ("baseline", "tab:orange")):
+    for name, color in names:
         tr = np.array(out["traces"][name])
         axes[1].plot(np.arange(len(tr)), tr, color=color, alpha=0.7,
                      label=f"{name} train")
@@ -271,6 +291,9 @@ def main():
                          "run_experiment")
     ap.add_argument("--meta-batch", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--with-imaml", action="store_true",
+                    help="add an IMAMLSystem (CG implicit-gradient) arm "
+                         "trained on the same episode sequence as meta")
     ap.add_argument("--out", default="examples/meta_advantage")
     args = ap.parse_args()
 
@@ -281,10 +304,13 @@ def main():
         from metatts_tpu.utils.jaxcache import enable_compilation_cache
         enable_compilation_cache()
 
+    algorithms = (("meta", "imaml", "baseline") if args.with_imaml
+                  else ("meta", "baseline"))
     out = run_experiment(outer_steps=args.outer_steps, hidden=args.hidden,
                          layers=args.layers, inner_lr=args.inner_lr,
                          test_lr=args.test_lr, seed=args.seed,
-                         flat_lr=args.flat_lr, meta_batch=args.meta_batch)
+                         flat_lr=args.flat_lr, meta_batch=args.meta_batch,
+                         algorithms=algorithms)
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "results.json"), "w") as f:
         json.dump(out, f, indent=1)
