@@ -87,13 +87,14 @@ def main():
         # reference pools d-vectors per speaker)
         import json
         descs = None
-        dpath = args.descriptions or os.path.join(
-            args.result.replace(os.sep + "result" + os.sep,
-                                os.sep + "log" + os.sep),
-            "test_descriptions.json")
+        dpath = args.descriptions or derive_descriptions_path(args.result)
         if os.path.exists(dpath):
             descs = json.load(open(dpath))
             print(f"[eval] speaker regrouping via {dpath}")
+        else:
+            print(f"[eval] WARNING: no episode descriptions at {dpath}; "
+                  "d-vectors stay grouped per task (pass --descriptions "
+                  "to enable per-speaker pooling)")
         sim_steps, sim_bands = {}, {}
         mode_pools = {"real": real}
         for kind in ("recon", "synth"):
@@ -176,6 +177,20 @@ def main():
     print(f"wrote {path}")
     for label, value in rows:
         print(f"  {label}\t{value}")
+
+
+def derive_descriptions_path(result_dir):
+    """Locate ``test_descriptions.json`` next to a Saver result tree by
+    swapping only the LAST ``/result/`` path segment for ``/log/`` — a
+    plain str.replace would rewrite every occurrence and silently resolve
+    the wrong log dir for paths like ``/data/result/output/result/mode``
+    (speaker regrouping would then be skipped and EER computed on per-task
+    groups, which cannot form cross-task same-speaker pairs)."""
+    seg = os.sep + "result" + os.sep
+    head, found, tail = result_dir.rpartition(seg)
+    log_dir = (head + os.sep + "log" + os.sep + tail) if found \
+        else result_dir
+    return os.path.join(log_dir, "test_descriptions.json")
 
 
 def discover_ft_steps(result_dir, step):
@@ -308,19 +323,20 @@ def run_matrix(args):
         if isinstance(mode_cfg, dict):
             result_dir = mode_cfg["dir"]
             mode_fts = mode_cfg.get("ft_step_list", ft_steps)
+            mode_descs = mode_cfg.get("descriptions")
         else:
-            result_dir, mode_fts = mode_cfg, ft_steps
+            result_dir, mode_fts, mode_descs = mode_cfg, ft_steps, None
         # task -> speaker regrouping via the mode's persisted frozen episode
-        # descriptions (same auto-derivation as the single-result path:
-        # .../result/... -> .../log/.../test_descriptions.json) — the
-        # reference pools d-vectors per SPEAKER, and without regrouping the
-        # per-task groups can't form same-speaker pairs across tasks
+        # descriptions (a per-mode ``descriptions`` key overrides the
+        # auto-derivation from the LAST /result/ segment) — the reference
+        # pools d-vectors per SPEAKER, and without regrouping the per-task
+        # groups can't form same-speaker pairs across tasks
         import json as _json
-        dpath = os.path.join(
-            result_dir.replace(os.sep + "result" + os.sep,
-                               os.sep + "log" + os.sep),
-            "test_descriptions.json")
+        dpath = mode_descs or derive_descriptions_path(result_dir)
         descs = _json.load(open(dpath)) if os.path.exists(dpath) else None
+        if descs is None:
+            print(f"[eval] WARNING: mode {mode}: no episode descriptions "
+                  f"at {dpath}; d-vectors stay grouped per task")
         for step in cfg.get("step_list", ["step_last"]):
             for kind in ("recon", "synth"):
                 for ft in (mode_fts if kind == "synth" else [None]):

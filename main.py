@@ -88,31 +88,60 @@ def main(args, configs):
         raise ValueError(f"unknown stage {args.stage}")
 
 
-def predict(args, configs, system):
-    """Text-only synthesis through the vocoder."""
+def predict(args, configs, system, predict_batch=8):
+    """Text-only synthesis through the vocoder.
+
+    Jitted with static shapes: sources are grouped by bucketed text length
+    and padded to a fixed batch size, so the whole stage dispatches O(1)
+    compiled programs per (bucket, batch) shape — an eager per-op forward
+    is pathological through the remote-TPU tunnel (the same reason every
+    other synthesis path routes through ``_cached_jit``, train/loop.py).
+    Reference: ``main.py:132-139`` synth loop."""
     import numpy as np
     from metatts_tpu.data import TextDataset
-    from metatts_tpu.data.collate import collate_batch
+    from metatts_tpu.data.collate import (collate_batch, bucket_length,
+                                          TEXT_BUCKET)
     from metatts_tpu.models.vocoder import Vocoder
     from metatts_tpu.train.saver import Saver
 
     if not args.source:
         raise SystemExit("predict requires --source <file.txt>")
     ds = TextDataset(args.source, configs[0][0])
-    batch, meta = collate_batch([ds[i] for i in range(len(ds))],
-                                with_mels=False)
-    out, _ = system.adaptor.forward(system.params, system.state, batch,
-                                    train=False, teacher_forced=False)
+    samples = [ds[i] for i in range(len(ds))]
+    groups = {}
+    for s in samples:
+        groups.setdefault(bucket_length(len(s["text"]), TEXT_BUCKET),
+                          []).append(s)
+
+    infer_mcfg = {**system.mcfg, "_fused_infer": True}
+    fwd = system._cached_jit(
+        "predict_synth",
+        lambda p, st, b: system.adaptor.forward(
+            p, st, b, train=False, teacher_forced=False,
+            mcfg=infer_mcfg)[0])
     vocoder = Vocoder(configs[1], n_mels=configs[0][0][
         "preprocessing"]["mel"]["n_mel_channels"])
-    mel_lens = np.asarray(out.mel_lens)
-    wav_lens = mel_lens * configs[0][0]["preprocessing"]["stft"]["hop_length"]
-    wavs = vocoder.infer(out.postnet_mel, lengths=wav_lens)
+    hop = configs[0][0]["preprocessing"]["stft"]["hop_length"]
     saver = Saver(os.path.join(args.output_dir, "log", args.exp_name),
                   os.path.join(args.output_dir, "result", args.exp_name))
-    for i, w in enumerate(wavs):
-        path = saver.save_audio("Prediction", "predict", meta.ids[i], w)
-        print(f"wrote {path}")
+    for L in sorted(groups):
+        grp = groups[L]
+        for i in range(0, len(grp), predict_batch):
+            chunk = grp[i:i + predict_batch]
+            n = len(chunk)
+            # pad the batch axis to the fixed size (repeat the last sample)
+            # so every dispatch reuses one compiled program per bucket
+            padded = chunk + [chunk[-1]] * (predict_batch - n)
+            batch, meta = collate_batch(padded, with_mels=False,
+                                        fixed_text_len=L)
+            out = fwd(system.params, system.state, batch)
+            mel_lens = np.asarray(out.mel_lens)[:n]
+            wavs = vocoder.infer(
+                np.asarray(out.postnet_mel)[:n], lengths=mel_lens * hop)
+            for j, w in enumerate(wavs):
+                path = saver.save_audio("Prediction", "predict",
+                                        meta.ids[j], w)
+                print(f"wrote {path}")
 
 
 if __name__ == "__main__":

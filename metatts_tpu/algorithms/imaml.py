@@ -4,9 +4,14 @@ Reference ``lightning/systems/imaml.py`` + the hypertorch CG port in
 ``lightning/systems/utils.py:120-189``:
 
   inner:  w* ~= argmin_w  L_sup(w) + (reg/2)||w - theta0||^2   (K SGD steps)
-  fp map: Phi(w, theta0) = w - lr * grad_w [L_sup(w) + reg-term]
+  fp map: Phi(w, theta0, frozen) = w - lr * grad_w [L_sup(w) + reg-term]
   solve:  (I - dPhi/dw)^T x = grad_w L_qry(w*)      (CG, K iterations)
-  hyper:  dL/dtheta0 = (dPhi/dtheta0)^T x  (+ direct grad for frozen params)
+  hyper:  dL/dtheta0 = (dPhi/dtheta0)^T x
+          dL/dfrozen = direct grad + (dPhi/dfrozen)^T x   (task-loss
+          cross-Hessian into the non-adapted modules — the reference CG
+          autodiffs Phi w.r.t. ALL of hmodel's params, so both terms exist
+          there; tests/test_imaml_correctness.py anchors this against
+          unrolled and finite-difference gradients)
 
 In JAX the CG matvec is a VJP of the fixed-point map — no Hessian
 materialization, one XLA program per step, grads psum over the episode axis
@@ -83,6 +88,20 @@ class IMAMLSystem(System):
                                        rng)
         return jax.tree.map(lambda w, gi: w - lr * gi, adapted, g)
 
+    def _support_minibatch(self, sup, rng):
+        """Size-``batch_size`` support draw for one inner step (the
+        reference's Task minibatcher, ``imaml.py:51-73`` +
+        ``systems/utils.py:80-117``: a shuffled BatchSampler over the
+        collated support tuple).  Static shapes: ``batch_size`` is a config
+        constant, the draw is a without-replacement gather on the leading
+        support axis.  None/full-size keeps the whole support set."""
+        bs = self.acfg["adapt"]["imaml"].get("batch_size")
+        K = sup.texts.shape[0]
+        if not bs or bs >= K:
+            return sup
+        idx = jax.random.choice(rng, K, shape=(bs,), replace=False)
+        return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), sup)
+
     def _episode_hypergrad(self, params, state, sup, qry, rng):
         task = self.acfg["adapt"]["train"]
         cg_iters = self.acfg["adapt"]["imaml"]["cg_steps"]
@@ -91,13 +110,22 @@ class IMAMLSystem(System):
         modules = self.adaptor.modules
         theta0, frozen = partition(params, modules)
 
-        # inner loop (first-order; implicit grads replace unrolling)
-        r_inner, r_fp, r_qry = jax.random.split(rng, 3)
+        # inner loop (first-order; implicit grads replace unrolling); each
+        # step adapts on a fresh support minibatch when
+        # adapt.imaml.batch_size is set (reference imaml.py:51-73)
+        r_inner, r_mb, r_fp, r_qry = jax.random.split(rng, 4)
         w = theta0
         for i in range(steps):
+            sup_i = self._support_minibatch(sup, jax.random.fold_in(r_mb, i))
             w = self._fp_map(jax.lax.stop_gradient(w), theta0, frozen, state,
-                             sup, jax.random.fold_in(r_inner, i), lr)
+                             sup_i, jax.random.fold_in(r_inner, i), lr)
         w = jax.lax.stop_gradient(w)
+        # the CG linearization point uses one fresh support draw (the
+        # reference's stochastic CG redraws per iteration inside fp_map;
+        # a VJP linearizes once, so this is one draw per outer step).
+        # fold_in(steps) is distinct from every inner-step index 0..steps-1
+        # (fold_in requires a non-negative value).
+        sup_fp = self._support_minibatch(sup, jax.random.fold_in(r_mb, steps))
 
         # outer (query) loss and grads at w*
         def outer(w_, frozen_):
@@ -116,17 +144,27 @@ class IMAMLSystem(System):
 
         # CG solve (I - dPhi/dw)^T x = g_w  via VJP of the fp map
         _, vjp_w = jax.vjp(
-            lambda w_: self._fp_map(w_, theta0, frozen, state, sup, r_fp, lr),
+            lambda w_: self._fp_map(w_, theta0, frozen, state, sup_fp, r_fp,
+                                    lr),
             w)
         matvec = lambda x: _tree_sub(x, vjp_w(x)[0])
         x = tree_cg(matvec, g_w, cg_iters)
 
-        # hypergrad wrt theta0 through Phi's explicit theta0 dependence
-        _, vjp_t0 = jax.vjp(
-            lambda t0: self._fp_map(w, t0, frozen, state, sup, r_fp, lr),
-            theta0)
-        hyper = vjp_t0(x)[0]
-        return merge(hyper, g_frozen), losses
+        # hypergrads through Phi's meta-parameter dependence: theta0 enters
+        # via the proximal reg term ((dPhi/dtheta0)^T x = lr*reg*x) and the
+        # FROZEN params enter via the task loss inside the inner gradient
+        # ((dPhi/dfrozen)^T x = -lr * H_{frozen,w} x).  The reference's CG
+        # autodiffs the fp map w.r.t. ALL of hmodel's params
+        # (systems/utils.py:120-189 with hmodel=self.model), so both terms
+        # are present there; dropping the frozen cross-term starves the
+        # non-adapted modules (e.g. the encoder) of their indirect meta-
+        # gradient — verified against unrolled/finite-difference gradients
+        # in tests/test_imaml_correctness.py.
+        _, vjp_meta = jax.vjp(
+            lambda t0, f: self._fp_map(w, t0, f, state, sup_fp, r_fp, lr),
+            theta0, frozen)
+        hyper_t0, hyper_frozen = vjp_meta(x)
+        return merge(hyper_t0, _tree_add(g_frozen, hyper_frozen)), losses
 
     def _train_step(self, params, state, opt_state, sup, qry, rng):
         n_episodes = sup.texts.shape[0]

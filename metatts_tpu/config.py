@@ -130,8 +130,13 @@ ALGORITHM_DEFAULTS = {
                  # are the test stage's wall-clock bottleneck on a remote
                  # TPU — see System.test_adapt)
                  "snapshot_offload": "auto"},
-        # iMAML-only:
-        "imaml": {"reg_param": 0.5, "cg_steps": 5},
+        # iMAML-only (reference config/algorithm/dev.yaml:22-26: K 5,
+        # reg_param 1, batch_size 5, stochastic true).  batch_size: null
+        # adapts on the full support set each inner step; an int samples
+        # that many support utterances per step (the reference's Task
+        # minibatcher, imaml.py:51-73 — with 5-shot episodes its
+        # batch_size 5 is a per-step permutation of the full support).
+        "imaml": {"reg_param": 1.0, "cg_steps": 5, "batch_size": None},
     },
 }
 

@@ -131,3 +131,58 @@ class SyntheticVoices:
         sup = jax.tree.map(lambda *xs: jnp.stack(xs), *[e[0] for e in eps])
         qry = jax.tree.map(lambda *xs: jnp.stack(xs), *[e[1] for e in eps])
         return sup, qry
+
+
+class SyntheticMelVocoder:
+    """Griffin-Lim pseudo-vocoder for the synthetic corpus.
+
+    Treats the n_mels-channel synthetic features as log-compressed mel
+    magnitudes (the convention of the real pipeline,
+    ``ops/stft.py dynamic_range_compression``), lifts them to a
+    linear-frequency magnitude spectrogram through the mel filterbank's
+    pseudo-inverse and recovers phase with Griffin-Lim
+    (``ops/stft.py:196``) — no pretrained vocoder weights needed.  The
+    per-speaker mel tilt (a per-channel offset in log space) becomes a
+    multiplicative spectral envelope in the audio, so speaker identity
+    survives the wav -> 40-mel -> d-vector round trip; that is what makes
+    the EER-space meta-advantage experiment (``tools/exp_meta_eer.py``)
+    possible end to end on synthesized AUDIO, like the reference's
+    ``evaluation/txt/*/eer.txt`` tables.
+    """
+
+    def __init__(self, n_mels=8, sr=16000, n_fft=1024, hop=512,
+                 n_iters=24, seed=0):
+        # defaults give T=48-frame synthetic utterances a ~1.5 s duration —
+        # comfortably one 160-frame (1.6 s) GE2E partial after the 16 kHz
+        # resemblyzer frontend, so d-vectors see the whole utterance
+        from ..ops.stft import TacotronSTFT
+        self.sr = sr
+        self.hop = hop
+        self.n_iters = n_iters
+        self.stft = TacotronSTFT(
+            filter_length=n_fft, hop_length=hop, win_length=n_fft,
+            n_mel_channels=n_mels, sampling_rate=sr, mel_fmin=0.0,
+            mel_fmax=sr / 2.0)
+        # (n_bins, n_mels) non-negative lift of the Slaney filterbank
+        self._inv = np.maximum(np.linalg.pinv(self.stft.mel_basis), 0.0)
+        self._gl = jax.jit(
+            lambda mags: self.stft.griffin_lim(mags, n_iters=n_iters,
+                                               seed=seed))
+
+    def __call__(self, mels, mel_lens=None):
+        """(B, T, n_mels) log-mel features -> list of B float32 wavs
+        (peak-normalized); ``mel_lens`` trims each wav to its frame count.
+        """
+        mels = np.asarray(mels, np.float32)
+        mag_mel = np.exp(np.clip(mels, -10.0, 6.0))       # (B, T, n_mels)
+        mags = np.einsum("fm,btm->bft", self._inv, mag_mel)
+        wavs = np.asarray(self._gl(jnp.asarray(mags)))
+        out = []
+        for b in range(wavs.shape[0]):
+            w = wavs[b]
+            if mel_lens is not None:
+                w = w[: int(mel_lens[b]) * self.hop]
+            peak = np.abs(w).max()
+            out.append((0.9 * w / peak if peak > 1e-8 else w).astype(
+                np.float32))
+        return out

@@ -20,7 +20,8 @@ from ..models.speaker_encoder import (ge2e_embed, GE2E_MEL_CHANNELS,
                                       GE2E_HIDDEN, GE2E_LAYERS)
 from ..models import nn
 from ..preprocess.refmel import (preprocess_ref_wav, wav_to_mel40,
-                                 compute_partial_slices, PARTIALS_N_FRAMES)
+                                 compute_partial_slices, tile_to_min_length,
+                                 PARTIALS_N_FRAMES)
 
 
 class DVectorEncoder:
@@ -74,6 +75,11 @@ class DVectorEncoder:
     def embed_utterance(self, wav, sr):
         """wav -> (256,) L2-normalized utterance d-vector (mean of partials)."""
         wav = preprocess_ref_wav(np.asarray(wav, np.float32), sr)
+        # short utterances are looped to fill one partial, not zero-padded
+        # (zero tails collapse the final-hidden readout; see refmel
+        # .tile_to_min_length).  Must match ge2e_scratch.utterance_partial
+        # exactly — the scratch verifier is trained on this frontend.
+        wav = tile_to_min_length(wav)
         wav_slices, mel_slices = compute_partial_slices(len(wav))
         if wav_slices[-1].stop >= len(wav):
             wav = np.pad(wav, (0, wav_slices[-1].stop - len(wav)))

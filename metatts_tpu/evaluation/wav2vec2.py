@@ -162,34 +162,78 @@ def load_params(npz_path):
     return p
 
 
-def utterance_score(params, wav):
+def utterance_score(params, wav, n_valid_frames=None):
     """Mean-pooled hidden states -> regression head (or the documented
-    norm proxy when no head was converted)."""
+    norm proxy when no head was converted).
+
+    ``n_valid_frames`` (dynamic scalar) restricts the pooling to the
+    frames produced by the un-padded part of a length-bucketed waveform;
+    None pools every frame (exact, one compile per length)."""
     h = encode(params, wav)
-    pooled = h.mean(axis=1)                      # (B, H)
+    T = h.shape[1]
+    if n_valid_frames is None:
+        w = jnp.ones((T,), h.dtype)
+    else:
+        w = (jnp.arange(T) < n_valid_frames).astype(h.dtype)
+    denom = jnp.maximum(w.sum(), 1.0)
+    pooled = (h * w[None, :, None]).sum(axis=1) / denom     # (B, H)
     if "head" in params:
         return (pooled @ params["head"]["kernel"]
                 + params["head"]["bias"])[..., 0]
     # proxy (same formula as the transformers-hook fallback in mos.py):
     # embedding-norm squashed into [1, 5]; labeled uncalibrated upstream
-    norm = jnp.linalg.norm(h, axis=-1).mean(axis=-1)
+    norm = (jnp.linalg.norm(h, axis=-1) * w[None]).sum(axis=-1) / denom
     return 1.0 + 4.0 * jax.nn.sigmoid(norm - 5.0)
 
 
-class Wav2Vec2Scorer:
-    """Jitted utterance scorer over converted official weights."""
+def n_conv_frames(params, n_samples):
+    """Feature-encoder output length for ``n_samples`` input samples
+    (kernel widths read from the WIO conv kernels, strides from config)."""
+    n = int(n_samples)
+    strides = params["config"]["conv_stride"]
+    for c, stride in zip(params["conv_layers"], strides):
+        n = (n - int(c["kernel"].shape[0])) // int(stride) + 1
+    return max(n, 0)
 
-    def __init__(self, npz_path):
+
+class Wav2Vec2Scorer:
+    """Jitted utterance scorer over converted official weights.
+
+    ``bucket=True`` (default) pads each waveform up to a small geometric
+    ladder of lengths (x1.5 steps from 1 s) and mean-pools only the valid
+    frames, so a variable-length corpus compiles a handful of programs
+    instead of one per distinct length (wav2vec2-base traces are ~30x the
+    other scorers'; through the remote-TPU tunnel each compile is minutes).
+    The trailing zero-pad still participates in the conv GroupNorm and the
+    unmasked attention — inherent to the wav2vec2-base architecture (HF
+    ships it without attention-mask support for the same reason), so
+    bucketed scores can drift slightly from exact ones; pass bucket=False
+    for exact per-length tracing."""
+
+    BUCKET_BASE = SR          # 1 s floor
+    BUCKET_GROWTH = 1.5
+
+    def __init__(self, npz_path, bucket=True):
         self.params = load_params(npz_path)
         self.calibrated = "head" in self.params
+        self.bucket = bucket
         # config holds Python ints (conv strides etc.) that must stay
         # STATIC under jit — close over it rather than tracing it (traced
         # ints turn window_strides into unhashable tracers)
         cfg = self.params["config"]
+        self._cfg = cfg
         self._weights = {k: v for k, v in self.params.items()
                          if k != "config"}
         self._fwd = jax.jit(
             lambda p, wav: utterance_score(dict(p, config=cfg), wav))
+        self._fwd_masked = jax.jit(
+            lambda p, wav, n: utterance_score(dict(p, config=cfg), wav, n))
+
+    def _bucket_len(self, n):
+        b = self.BUCKET_BASE
+        while b < n:
+            b = int(b * self.BUCKET_GROWTH)
+        return b
 
     def score(self, wav, sr):
         from ..preprocess.audio_io import resample
@@ -202,4 +246,10 @@ class Wav2Vec2Scorer:
         min_len = int(np.prod(self.params["config"]["conv_stride"])) * 4
         if len(wav) < min_len:
             wav = np.pad(wav, (0, min_len - len(wav)))
-        return float(self._fwd(self._weights, jnp.asarray(wav[None]))[0])
+        if not self.bucket:
+            return float(self._fwd(self._weights,
+                                   jnp.asarray(wav[None]))[0])
+        n_valid = n_conv_frames(self.params, len(wav))
+        padded = np.pad(wav, (0, self._bucket_len(len(wav)) - len(wav)))
+        return float(self._fwd_masked(self._weights,
+                                      jnp.asarray(padded[None]), n_valid)[0])

@@ -60,7 +60,12 @@ def ge2e_embed(p, mels, cdtype=jnp.float32):
     _, finals = nn.lstm(p["lstm"], mels, cdtype)
     h = finals[-1]                                     # last layer's h_T
     e = jax.nn.relu(nn.linear(p["linear"], h, cdtype))
-    return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-8)
+    # sqrt(sum+eps) normalization, NOT linalg.norm: when relu kills every
+    # unit of an embedding (sparse codes late in GE2E training) norm's VJP
+    # at the exact-zero vector is 0/0 -> NaN even under a maximum() value
+    # guard, and one such partial NaNs the whole scratch-GE2E training run
+    # (finite loss, NaN grads).  This form's gradient at e=0 is 0.
+    return e / jnp.sqrt(jnp.sum(e * e, axis=-1, keepdims=True) + 1e-12)
 
 
 def speaker_encoder_apply(p, speaker_args, emb_type, cdtype=jnp.float32):

@@ -57,6 +57,31 @@ def preprocess_ref_wav(wav, source_sr):
     return trim_silence(wav)
 
 
+# samples in one 160-frame GE2E partial window (1.6 s @ 16 kHz)
+PARTIAL_SAMPLES = PARTIALS_N_FRAMES * SAMPLING_RATE * MEL_WINDOW_STEP // 1000
+
+
+def tile_to_min_length(wav, n_samples=PARTIAL_SAMPLES):
+    """Loop audio shorter than one GE2E partial window instead of
+    zero-padding it.
+
+    The d-vector is the LSTM's FINAL hidden state; a zero-padded tail means
+    the net reads ~100 silent steps after the speech and its state relaxes
+    to the input-independent zero-input fixed point — measured to collapse
+    every short utterance to the SAME embedding (same/diff-speaker cosines
+    all 1.000, GE2E loss pinned at ln(N); tools/probe_ge2e_training.py).
+    Timbre is stationary, so looping the waveform preserves speaker
+    identity while keeping real signal under the readout.  Long audio is
+    returned unchanged, so resemblyzer partial-slicing semantics are
+    untouched where they are well-defined."""
+    if len(wav) == 0:
+        return np.zeros(n_samples, np.float32)
+    if len(wav) >= n_samples:
+        return wav
+    reps = int(np.ceil(n_samples / len(wav)))
+    return np.tile(wav, reps)[:n_samples]
+
+
 _mel_cache = {}
 
 

@@ -24,8 +24,18 @@ from flax import serialization
 
 def save_checkpoint(path, params, state, opt_state, step):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # Fetch device arrays through ONE packed transfer per dtype chunk
+    # before serializing: flax.to_bytes would device_get leaf-by-leaf,
+    # which through the remote-TPU tunnel costs ~0.7 s PER LEAF (~158 s
+    # for the 218-leaf base params pytree vs ~9 s packed — see
+    # utils/transfer.py).  Checkpoint saves sit on the training loop's
+    # critical path at save_step cadence.
+    from ..utils.transfer import packed_device_get
+    tree = packed_device_get({
+        "params": params, "state": state, "opt_state": opt_state})
     blob = serialization.to_bytes({
-        "params": params, "state": state, "opt_state": opt_state,
+        "params": tree["params"], "state": tree["state"],
+        "opt_state": tree["opt_state"],
         "step": np.asarray(step, np.int64),
     })
     tmp = path + ".tmp"

@@ -115,6 +115,8 @@ class Trainer:
         trace_cm = None
 
         t0 = time.time()
+        t_warm = None   # wall-clock start AFTER the first (compiling) step
+        warm_step = None
         while sys.global_step < total:
             if prof_mode == "trace" and sys.global_step == 3 and \
                     trace_cm is None:
@@ -139,6 +141,8 @@ class Trainer:
                 float(losses.total)   # force host sync so wall is real
             if timer:
                 timer.__exit__()
+            if t_warm is None:
+                t_warm, warm_step = time.time(), step
             if trace_cm is not None and step >= 8:
                 trace_cm.__exit__(None, None, None)
                 trace_cm = None
@@ -178,9 +182,21 @@ class Trainer:
             mem = device_memory_stats()
             peak = max((m.get("peak_bytes_in_use") or 0
                         for m in mem.values()), default=0)
+            # e2e = steps/sec over the post-compile window INCLUDING val /
+            # checkpoint / logging overhead (the StepTimer excludes those —
+            # it only wraps next(gen)+train_step); the gap between the two
+            # is the trainer's non-step overhead, the thing a sustained-fit
+            # bench exists to expose.
+            e2e = ""
+            if t_warm is not None and sys.global_step > warm_step:
+                e2e_rate = (sys.global_step - warm_step) / max(
+                    time.time() - t_warm, 1e-9)
+                e2e = f", e2e {e2e_rate:.2f} it/s incl val/ckpt"
+                self.logger.log_metrics(sys.global_step, {
+                    "profile/e2e_steps_per_sec": e2e_rate})
             print(f"[profile] {s['steps']} steps: mean {s['mean_ms']:.1f}ms "
                   f"p50 {s['p50_ms']:.1f}ms p95 {s['p95_ms']:.1f}ms "
-                  f"({s['steps_per_sec']:.2f} it/s)"
+                  f"({s['steps_per_sec']:.2f} it/s{e2e})"
                   + (f"; peak HBM {peak / 2**30:.2f} GiB" if peak else ""))
             self.logger.log_metrics(sys.global_step, {
                 "profile/final_mean_ms": s["mean_ms"],

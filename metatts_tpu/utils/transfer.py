@@ -24,13 +24,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def packed_device_get(tree):
-    """``jax.device_get`` a pytree via one transfer per dtype group.
+# Cap on each on-device concat buffer: packing is chosen precisely when the
+# tree is too big to keep around, so one giant concat could transiently
+# double device memory at the worst moment.  256 MB chunks keep the peak
+# overhead bounded while still amortizing the per-transfer tunnel latency.
+PACK_CHUNK_BYTES = 256 * 2**20
+
+
+def packed_device_get(tree, chunk_bytes=PACK_CHUNK_BYTES):
+    """``jax.device_get`` a pytree via a few large transfers.
 
     Leaves are raveled and concatenated ON DEVICE (eager ops — no jit, so
-    no tunnel compile), fetched as one buffer per distinct dtype, and
-    unpacked on the host with zero-copy numpy slicing.  Returns a pytree of
-    ``np.ndarray`` with the original shapes/dtypes.
+    no tunnel compile) into per-dtype buffers capped at ``chunk_bytes``
+    each (the transient device copy is bounded — an offloaded snapshot
+    generation can be most of HBM already), fetched, and unpacked on the
+    host with zero-copy numpy slicing.  Returns a pytree of ``np.ndarray``
+    with the original shapes/dtypes.
     """
     leaves, treedef = jax.tree.flatten(tree)
     if not leaves:
@@ -43,15 +52,28 @@ def packed_device_get(tree):
             continue
         by_dtype.setdefault(jnp.dtype(leaf.dtype), []).append(i)
     for dtype, idxs in by_dtype.items():
-        if len(idxs) == 1:
-            i = idxs[0]
-            host[i] = np.asarray(jax.device_get(leaves[i]))
-            continue
-        flat = jnp.concatenate([leaves[i].ravel() for i in idxs])
-        buf = np.asarray(jax.device_get(flat))
-        offset = 0
+        # split the dtype group into chunks of <= chunk_bytes
+        chunks, cur, cur_bytes = [], [], 0
         for i in idxs:
-            n = leaves[i].size
-            host[i] = buf[offset:offset + n].reshape(leaves[i].shape)
-            offset += n
+            nbytes = leaves[i].size * dtype.itemsize
+            if cur and cur_bytes + nbytes > chunk_bytes:
+                chunks.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(i)
+            cur_bytes += nbytes
+        if cur:
+            chunks.append(cur)
+        for chunk in chunks:
+            if len(chunk) == 1:
+                i = chunk[0]
+                host[i] = np.asarray(jax.device_get(leaves[i]))
+                continue
+            flat = jnp.concatenate([leaves[i].ravel() for i in chunk])
+            buf = np.asarray(jax.device_get(flat))
+            del flat
+            offset = 0
+            for i in chunk:
+                n = leaves[i].size
+                host[i] = buf[offset:offset + n].reshape(leaves[i].shape)
+                offset += n
     return jax.tree.unflatten(treedef, host)

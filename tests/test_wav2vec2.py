@@ -98,7 +98,7 @@ def test_head_export_and_calibrated_score(hf_model, tmp_path):
     npz = str(tmp_path / "w2v2_mos.npz")
     convert_wav2vec2_pt(pt, npz, config_json=cfg_json)
 
-    scorer = Wav2Vec2Scorer(npz)
+    scorer = Wav2Vec2Scorer(npz, bucket=False)
     assert scorer.calibrated
     rng = np.random.default_rng(1)
     wav = rng.standard_normal(3200).astype(np.float32) * 0.1
@@ -110,6 +110,29 @@ def test_head_export_and_calibrated_score(hf_model, tmp_path):
     want = float((pooled @ np.asarray(p["head"]["kernel"])
                   + np.asarray(p["head"]["bias"])).item())
     assert abs(s - want) < 1e-3
+
+
+def test_bucketed_scorer_compile_sharing(hf_model, converted):
+    """Default (bucketed) scorer: distinct wav lengths inside one bucket
+    share a single padded shape — the whole corpus traces a handful of
+    programs — and the valid-frame-masked score stays close to the exact
+    unbucketed one (exactness is impossible: the zero-pad still enters the
+    conv GroupNorm and the unmasked attention by architecture)."""
+    from metatts_tpu.evaluation.wav2vec2 import Wav2Vec2Scorer
+
+    bucketed = Wav2Vec2Scorer(converted)
+    exact = Wav2Vec2Scorer(converted, bucket=False)
+    rng = np.random.default_rng(2)
+    lens = [3200, 4000, 5000, 17000]
+    shapes = set()
+    for n in lens:
+        wav = rng.standard_normal(n).astype(np.float32) * 0.1
+        sb = bucketed.score(wav, 16000)
+        se = exact.score(wav, 16000)
+        assert 1.0 <= sb <= 5.0 and abs(sb - se) < 0.5, (n, sb, se)
+        shapes.add(bucketed._bucket_len(n))
+    # 3200/4000/5000 all land in the 1 s floor bucket; 17000 in the next
+    assert len(shapes) == 2, shapes
 
 
 def test_scorer_registration_and_resample(converted):

@@ -306,12 +306,31 @@ def convert_wav2vec2_pt(src, dst, config_json=None):
             f"{L}.feed_forward.output_dense.bias"]
         out[f"layer{i}.final_ln.scale"] = sd[f"{L}.final_layer_norm.weight"]
         out[f"layer{i}.final_ln.bias"] = sd[f"{L}.final_layer_norm.bias"]
-    # optional utterance-MOS regression head (finetuned SSL-MOS layouts)
+    # optional utterance-MOS regression head (finetuned SSL-MOS layouts).
+    # The scorer applies the head to the MEAN-POOLED hidden states (H ==
+    # cfg hidden_size), so only a direct (1, H) linear head is convertible:
+    # a projector(768->256)+classifier(256->1) stack would need the
+    # projector fused in and a dim-mismatched head would shape-error (or,
+    # worse, silently miscalibrate if dims coincide) at score time.
+    hidden = int(sd["encoder.layer_norm.weight"].shape[0])
     for hk in ("head.weight", "classifier.weight", "regression.weight"):
-        if hk in sd and sd[hk].ndim == 2 and sd[hk].shape[0] == 1:
-            out["head.kernel"] = sd[hk].T
-            out["head.bias"] = sd[hk[:-len(".weight")] + ".bias"]
-            break
+        if hk not in sd or sd[hk].ndim != 2 or sd[hk].shape[0] != 1:
+            continue
+        bk = hk[:-len(".weight")] + ".bias"
+        if sd[hk].shape[1] != hidden:
+            raise SystemExit(
+                f"MOS head {hk} has input dim {sd[hk].shape[1]} != "
+                f"hidden_size {hidden}: this is a projector-style SSL-MOS "
+                "head (e.g. projector 768->256 + classifier 256->1), which "
+                "this converter does not fuse — export a checkpoint with a "
+                "direct (1, hidden) regression head instead")
+        if bk not in sd:
+            raise SystemExit(
+                f"MOS head {hk} has no matching bias {bk}; bias-free heads "
+                "are not supported (add a zero bias before converting)")
+        out["head.kernel"] = sd[hk].T
+        out["head.bias"] = sd[bk]
+        break
     np.savez(dst, **out)
     print(f"wrote {dst}: {len(out)} arrays "
           f"({'with' if 'head.kernel' in out else 'no'} regression head)")

@@ -90,7 +90,7 @@ def run_experiment(outer_steps=400, n_train=32, n_test=8, n_mels=8,
                    episodes_per_speaker=2, eval_queries=8, seed=0,
                    hidden=32, layers=1, log_every=50, verbose=True,
                    flat_lr=None, corpus_kwargs=None,
-                   algorithms=("meta", "baseline")):
+                   algorithms=("meta", "baseline"), keep_systems=False):
     """Train the requested systems on the synthetic corpus, evaluate the
     shared test stage on held-out speakers.  Returns a results dict with
     per-system ``{ft_step: [per-task total losses]}`` plus training traces.
@@ -200,9 +200,11 @@ def run_experiment(outer_steps=400, n_train=32, n_test=8, n_mels=8,
     # identical frozen eval episodes for both systems
     eval_rng = np.random.RandomState(seed + 2)
     episodes = []
+    episode_speakers = []
     for s in test_speakers:
         for _ in range(episodes_per_speaker):
             episodes.append(corpus.episode(s, shots, eval_queries, eval_rng))
+            episode_speakers.append(int(s))
 
     results = {name: {int(ft): [] for ft in (0,) + tuple(saving_steps)}
                for name in algorithms}
@@ -224,7 +226,18 @@ def run_experiment(outer_steps=400, n_train=32, n_test=8, n_mels=8,
                     "n": len(v)}
                for ft, v in results[name].items()}
         for name in results}
-    return {"results": results, "summary": summary, "traces": traces,
+    extras = {}
+    if keep_systems:
+        # non-JSON handles for downstream stages (tools/exp_meta_eer.py
+        # synthesizes per-adaptation-step AUDIO from these systems /
+        # episodes); callers must strip "_"-prefixed keys before dumping
+        extras = {"_systems": systems, "_corpus": corpus,
+                  "_episodes": episodes,
+                  "_episode_speakers": episode_speakers,
+                  "_train_speakers": train_speakers,
+                  "_test_speakers": test_speakers}
+    return {**extras,
+            "results": results, "summary": summary, "traces": traces,
             "config": dict(outer_steps=outer_steps, n_train=n_train,
                            n_test=n_test, n_mels=n_mels, shots=shots,
                            queries=queries, meta_batch=meta_batch,
