@@ -93,6 +93,12 @@ TRAIN_DEFAULTS = {
     # Lightning profiler (main.py:37); "trace" also captures a
     # jax.profiler XPlane trace of steps 3-8; "off" disables
     "profile": "simple",
+    # wire dtype for mel targets ("auto" = bfloat16 on TPU, float32
+    # elsewhere; see data/collate.set_mel_transfer_dtype): mels dominate
+    # per-step H2D bytes and the loss upcasts targets to fp32, so bf16
+    # halves the transfer that bounds the sustained step on bandwidth-
+    # limited links.  Set "float32" for exact-precision targets.
+    "transfer_mel_dtype": "auto",
     "optimizer": {
         "batch_size": 80, "betas": [0.9, 0.98], "eps": 1e-9,
         "weight_decay": 0.0, "grad_clip_thresh": 1.0, "grad_acc_step": 1,

@@ -15,6 +15,33 @@ from ..utils.tools import pad_1d, pad_2d, bucket_length
 TEXT_BUCKET = 32
 MEL_BUCKET = 128
 
+# Wire dtype for mel TARGETS (train.transfer_mel_dtype).  Mels dominate the
+# per-step host->device bytes (a 5-shot/5-query base episode ships ~3 MB of
+# fp32 mels); through the remote-TPU tunnel (~12-16 MB/s) that H2D is ~214
+# ms against a 151 ms compute step — the measured sustained-fit gap
+# (tools/bench_sustained_fit.py, p50 207 ms).  "auto" transfers bf16 on TPU
+# (halves the bytes so the prefetched transfer hides under compute; the
+# loss upcasts targets to fp32 — models/loss.py — and the model already
+# computes bf16 activations by default) and fp32 elsewhere; set "float32"
+# for exact-precision targets (parity work).
+_MEL_TRANSFER_DTYPE = "auto"
+
+
+def set_mel_transfer_dtype(spec):
+    """Set the process-wide mel wire dtype: "auto" | "float32" | "bfloat16".
+
+    Called by ``Trainer.__init__`` from ``train.transfer_mel_dtype``."""
+    global _MEL_TRANSFER_DTYPE
+    _MEL_TRANSFER_DTYPE = spec or "auto"
+
+
+def _mel_transfer_dtype():
+    if _MEL_TRANSFER_DTYPE == "auto":
+        from ..utils.backend import is_tpu
+        return jnp.bfloat16 if is_tpu() else jnp.float32
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+            "bf16": jnp.bfloat16}[str(_MEL_TRANSFER_DTYPE)]
+
 
 class CollateMeta:
     """Host-side companion of a Batch (ids / raw text, not traced)."""
@@ -76,7 +103,7 @@ def collate_batch(samples, max_seq_len=1000, with_mels=True,
         speaker_args=speaker_args,
         texts=jnp.asarray(texts),
         src_lens=jnp.asarray(src_lens),
-        mels=jnp.asarray(mels),
+        mels=jnp.asarray(mels, dtype=_mel_transfer_dtype()),
         mel_lens=jnp.asarray(mel_lens),
         p_targets=jnp.asarray(pitches),
         e_targets=jnp.asarray(energies),

@@ -38,6 +38,8 @@ class Trainer:
             result_dir=os.path.join(output_dir, "result", exp_name))
         self.logger = ExperimentLogger(self.saver.log_dir, exp_name)
         self.vocoder = vocoder
+        from ..data.collate import set_mel_transfer_dtype
+        set_mel_transfer_dtype(train_cfg.get("transfer_mel_dtype", "auto"))
 
     # ------------------------------------------------------------- train
 
@@ -295,7 +297,10 @@ class Trainer:
         if mel_len <= 0:
             return
         mel_pred = np.asarray(out.postnet_mel)[0, :mel_len]
-        mel_target = np.asarray(qry.mels)[0, :mel_len]
+        # explicit fp32: mels may ride the wire as bf16
+        # (train.transfer_mel_dtype), and ml_dtypes arrays upset
+        # matplotlib/vocoder numpy paths downstream
+        mel_target = np.asarray(qry.mels, np.float32)[0, :mel_len]
         for tag, mel in (("reconstructed", mel_target),
                          ("synthesized", mel_pred)):
             wav = self.vocoder.infer(mel[None], lengths=[mel_len * hop])[0]

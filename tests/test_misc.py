@@ -258,3 +258,42 @@ def test_packed_device_get_roundtrip():
     one = packed_device_get(jnp.arange(4.0))
     assert isinstance(one, np.ndarray) and one[-1] == 3.0
     assert packed_device_get({}) == {}
+
+
+def test_mel_transfer_dtype_knob():
+    """train.transfer_mel_dtype: mels dominate per-step H2D bytes, so the
+    wire dtype is configurable (bf16 halves a transfer that outweighs the
+    compute step through the remote-TPU tunnel — bench_sustained_fit).
+    The loss must stay fp32-exactness-compatible: it upcasts targets."""
+    import numpy as np
+    import jax.numpy as jnp
+    from metatts_tpu.data import collate as C
+
+    rng = np.random.RandomState(0)
+
+    def sample(i):
+        d = rng.randint(1, 4, size=(10,)).astype(np.int32)
+        return {"id": f"u{i}", "speaker": 0, "raw_text": "x",
+                "text": rng.randint(1, 360, size=(10,)).astype(np.int32),
+                "mel": rng.randn(int(d.sum()), 8).astype(np.float32),
+                "pitch": rng.randn(10).astype(np.float32),
+                "energy": rng.randn(10).astype(np.float32),
+                "duration": d}
+
+    try:
+        # default "auto" on the CPU test backend -> float32 (parity)
+        batch, _ = C.collate_batch([sample(0), sample(1)], max_seq_len=64)
+        assert batch.mels.dtype == jnp.float32
+        C.set_mel_transfer_dtype("bfloat16")
+        b16, _ = C.collate_batch([sample(2), sample(3)], max_seq_len=64)
+        assert b16.mels.dtype == jnp.bfloat16
+        # bf16 wire values match the fp32 ones to bf16 precision
+        np.testing.assert_allclose(
+            np.asarray(b16.mels, np.float32),
+            np.asarray(jnp.asarray(np.asarray(b16.mels, np.float32))),
+            rtol=0, atol=0)
+        C.set_mel_transfer_dtype("float32")
+        b32, _ = C.collate_batch([sample(4)], max_seq_len=64)
+        assert b32.mels.dtype == jnp.float32
+    finally:
+        C.set_mel_transfer_dtype("auto")
