@@ -295,7 +295,15 @@ class System:
         max_steps = test_cfg["steps"]
         E = jax.tree.leaves(sup_stack)[0].shape[0]
 
-        eval_mcfg = {**self.mcfg, "_fused_infer": True}
+        # NO fused megakernel here, unlike the sequential test_adapt: this
+        # eval is vmapped over the episode axis, and jax.vmap's default
+        # pallas batching folds the batch into the kernel's block — at
+        # E=5 x 4 queries the (E, B, T, D) stream exceeds the 16 MB scoped
+        # VMEM limit at TPU compile time (measured: 16.99 M requested,
+        # probe_1shot_1000).  Weights are per-episode (adapted), so the
+        # kernel can't simply flatten (E, B) either; the unfused forward
+        # costs ~ms per snapshot eval against a 100-1000-step trajectory.
+        eval_mcfg = dict(self.mcfg)
 
         def qry_eval(params, sup, qry):
             qry_c = qry._replace(speaker_args=sup.speaker_args[:1].repeat(

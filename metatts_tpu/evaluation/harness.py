@@ -76,6 +76,14 @@ class EvaluationHarness:
         out = {}
         if not os.path.isdir(root):
             return out
+        # the cache key must identify the TREE, not just task/kind/ft:
+        # different modes (meta vs baseline result dirs) share task names
+        # AND wav basenames, so without a per-dir tag the second mode
+        # evaluated silently reuses the first mode's cached d-vectors
+        # (observed: meta == baseline in every EER row).
+        import hashlib
+        dirtag = hashlib.md5(
+            os.path.abspath(result_dir).encode()).hexdigest()[:8]
         for task in sorted(os.listdir(root)):
             d = os.path.join(root, task)
             if not os.path.isdir(d):
@@ -86,7 +94,8 @@ class EvaluationHarness:
                 files = [f for f in files
                          if f"-FTstep_{ft_step}." in os.path.basename(f)]
             if files:
-                key = f"res_{re.sub('[^A-Za-z0-9]', '_', task)}_{kind}"
+                key = (f"res_{dirtag}_"
+                       f"{re.sub('[^A-Za-z0-9]', '_', task)}_{kind}")
                 if ft_step is not None:
                     key += f"_ft{ft_step}"
                 out[task] = self._embed_files(files, key)

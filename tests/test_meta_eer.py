@@ -160,6 +160,41 @@ def test_synthetic_mel_vocoder_output(corpus_and_vocoder):
         assert 0.5 < np.abs(w).max() <= 0.91     # peak-normalized to 0.9
 
 
+def test_result_tree_cache_keys_do_not_collide_across_modes(tmp_path):
+    """Two result trees (e.g. meta vs baseline modes) share task names AND
+    wav basenames; the harness d-vector cache must still keep them apart.
+    Regression: the cache key once omitted the result dir, so the second
+    mode evaluated silently reused the first mode's cached d-vectors —
+    every meta EER row equalled the baseline row bit-for-bit."""
+    from metatts_tpu.evaluation.harness import EvaluationHarness
+    from metatts_tpu.preprocess.audio_io import save_wav
+
+    rng = np.random.default_rng(7)
+    for mode, freq in (("meta", 220.0), ("baseline", 880.0)):
+        d = tmp_path / "result" / mode / "audio" / "Testing" / "step_last" \
+            / "test_000"
+        d.mkdir(parents=True)
+        t = np.arange(16000, dtype=np.float32) / 16000.0
+        w = (0.5 * np.sin(2 * np.pi * freq * t)
+             + 0.01 * rng.standard_normal(16000).astype(np.float32))
+        save_wav(str(d / "qry00.step_last-FTstep_10.synth.wav"),
+                 w.astype(np.float32), 16000)
+
+    h = EvaluationHarness(cache_dir=str(tmp_path / "cache"))
+    g_meta = h.embed_result_tree(str(tmp_path / "result" / "meta"),
+                                 "synth", ft_step=10)
+    g_base = h.embed_result_tree(str(tmp_path / "result" / "baseline"),
+                                 "synth", ft_step=10)
+    assert g_meta and g_base
+    assert not np.allclose(g_meta["test_000"], g_base["test_000"]), \
+        "distinct trees returned identical embeddings: cache collision"
+    # and the cache itself is coherent: re-embedding each tree hits its
+    # OWN entry
+    np.testing.assert_array_equal(
+        h.embed_result_tree(str(tmp_path / "result" / "meta"), "synth",
+                            ft_step=10)["test_000"], g_meta["test_000"])
+
+
 def test_derive_descriptions_path_last_segment_only():
     import evaluate as evaluate_cli
 

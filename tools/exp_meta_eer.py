@@ -264,6 +264,56 @@ def run_eer_experiment(out_dir="examples/meta_advantage_eer",
     return result
 
 
+def rescore(out_dir="examples/meta_advantage_eer", verbose=True):
+    """Replay ONLY the evaluation + reporting stages (5-6) against the
+    on-disk artifacts of a previous full run: matrix.yaml + result trees +
+    ge2e_scratch.npz + real/.  Exists because evaluation-stage bugs (e.g.
+    the mode-cache collision fixed in harness.embed_result_tree) must be
+    re-scoreable without repeating the ~2 h train+synth pipeline."""
+    import yaml
+
+    matrix_path = os.path.join(out_dir, "matrix.yaml")
+    cfg = yaml.safe_load(open(matrix_path))
+    prev = json.load(open(os.path.join(out_dir, "results.json")))
+    names = list(cfg["modes"])
+    ge2e_npz = os.path.join(out_dir, "ge2e_scratch.npz")
+
+    import evaluate as evaluate_cli
+    eval_args = argparse.Namespace(
+        config=matrix_path, out=os.path.join(out_dir, "eval"),
+        dvector_weights=ge2e_npz, mosnet_weights=None, mbnet_weights=None,
+        wav2vec2_weights=None, mos=False)
+    evaluate_cli.run_matrix(eval_args)
+
+    eer_rows = {}
+    with open(os.path.join(out_dir, "eval", "eer.txt")) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 2:
+                eer_rows[parts[0]] = float(parts[1])
+    table = {name: {} for name in names}
+    for name in names:
+        for ft in cfg["ft_step_list"]:
+            key = f"{name}_synth_step_last_FTstep{ft}"
+            if key in eer_rows:
+                table[name][ft] = eer_rows[key]
+    result = dict(prev)
+    result["eer_table"] = table
+    result["real_eer"] = eer_rows.get("real")
+    result["recon_eer"] = {name: eer_rows.get(f"{name}_recon_step_last")
+                           for name in names}
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    plot_eer(result, out_dir)
+    if verbose:
+        m10 = table.get("meta", {}).get(10)
+        b10 = table.get("baseline", {}).get(10)
+        print(f"[headline] EER @ 10 adaptation steps: meta {m10} vs "
+              f"baseline {b10} (real {result['real_eer']}; reference "
+              f"eer.txt: meta 0.1776 vs baseline 0.4309)")
+    return result
+
+
 def plot_eer(result, out_dir):
     import matplotlib
     matplotlib.use("Agg")
@@ -298,6 +348,9 @@ def main():
     ap.add_argument("--ge2e-steps", type=int, default=300)
     ap.add_argument("--ge2e-hidden", type=int, default=128)
     ap.add_argument("--with-imaml", action="store_true")
+    ap.add_argument("--rescore", action="store_true",
+                    help="re-run only evaluation+reporting on the "
+                         "artifacts of a previous full run")
     ap.add_argument("--out", default="examples/meta_advantage_eer")
     args = ap.parse_args()
 
@@ -307,6 +360,10 @@ def main():
     else:
         from metatts_tpu.utils.jaxcache import enable_compilation_cache
         enable_compilation_cache()
+
+    if args.rescore:
+        rescore(out_dir=args.out)
+        return
 
     algorithms = (("meta", "imaml", "baseline") if args.with_imaml
                   else ("meta", "baseline"))
